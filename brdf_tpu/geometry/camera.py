@@ -1,0 +1,160 @@
+"""Tsai camera model (JAX pytree): projection, rays, frustum math.
+
+Replaces the reference's camera handling, which was split between the ``.cal``
+parser (``/root/reference/brdfdata.cpp:149-247``), the principal-point-shifted
+``glFrustum`` (``glutcallbacks.cpp:626-642``) and live-GL ``gluProject`` calls
+(``brdfdata.cpp:629-681``). Here the whole model is explicit, differentiable
+math — and the radial distortion ``kappa1``, which the reference parsed but
+dropped, is honored.
+
+Conventions:
+- World→camera: ``x_c = R (x_w - p)`` with ``R`` rows = calibrated axes
+  ``(n, o, a)`` (unit, mutually orthogonal; ``brdfdata.h:63-69``).
+- Image coordinates: ``u`` to the right, ``v`` **down** (row index), origin at
+  the top-left pixel center; ``z_c > 0`` in front of the camera.
+- Tsai projection: undistorted sensor coords ``Xu = f·x_c/z_c``,
+  ``Yu = f·y_c/z_c``; radial distortion ``Xu = Xd (1 + kappa1 r²)`` with
+  ``r² = Xd² + Yd²``; pixel ``u = cx + sx·Xd``, ``v = cy + Yd``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brdf_tpu.io.cal import TsaiCalibration
+
+
+class Camera(NamedTuple):
+    rotation: jnp.ndarray  # (3, 3) world→camera; rows are camera axes in world
+    position: jnp.ndarray  # (3,) camera center in world coords
+    f: jnp.ndarray         # focal length (pixels)
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    sx: jnp.ndarray        # horizontal scale factor
+    kappa1: jnp.ndarray    # radial distortion
+    width: int             # static — image width in pixels
+    height: int            # static — image height in pixels
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def from_calibration(
+        cls, cal: TsaiCalibration, width: int, height: int, dtype=jnp.float32
+    ) -> "Camera":
+        return cls(
+            rotation=jnp.asarray(cal.rotation, dtype=dtype),
+            position=jnp.asarray(cal.p, dtype=dtype),
+            f=jnp.asarray(cal.f, dtype=dtype),
+            cx=jnp.asarray(cal.cx, dtype=dtype),
+            cy=jnp.asarray(cal.cy, dtype=dtype),
+            sx=jnp.asarray(cal.sx, dtype=dtype),
+            kappa1=jnp.asarray(cal.kappa1, dtype=dtype),
+            width=width,
+            height=height,
+        )
+
+    @classmethod
+    def look_at(
+        cls,
+        eye,
+        target,
+        up=(0.0, 1.0, 0.0),
+        f: float = 500.0,
+        width: int = 256,
+        height: int = 256,
+        dtype=jnp.float32,
+    ) -> "Camera":
+        """Synthetic pinhole camera looking from ``eye`` at ``target``."""
+        eye = np.asarray(eye, dtype=np.float64)
+        target = np.asarray(target, dtype=np.float64)
+        up = np.asarray(up, dtype=np.float64)
+        a = target - eye
+        a = a / np.linalg.norm(a)                      # optical axis
+        n = np.cross(a, up)                            # right (+u)
+        n = n / np.linalg.norm(n)
+        o = np.cross(a, n)                             # down (+v), so v grows downward
+        rot = np.stack([n, o, a], axis=0)
+        return cls(
+            rotation=jnp.asarray(rot, dtype=dtype),
+            position=jnp.asarray(eye, dtype=dtype),
+            f=jnp.asarray(f, dtype=dtype),
+            cx=jnp.asarray((width - 1) / 2.0, dtype=dtype),
+            cy=jnp.asarray((height - 1) / 2.0, dtype=dtype),
+            sx=jnp.asarray(1.0, dtype=dtype),
+            kappa1=jnp.asarray(0.0, dtype=dtype),
+            width=width,
+            height=height,
+        )
+
+    # -- transforms --------------------------------------------------------
+
+    def world_to_camera(self, points: jnp.ndarray) -> jnp.ndarray:
+        """(…, 3) world points → camera coords."""
+        return (points - self.position) @ self.rotation.T
+
+    def project(self, points: jnp.ndarray, eps: float = 1e-9):
+        """Project world points to pixel coords.
+
+        Returns ``(uv, depth)``: ``uv`` is (…, 2) with ``u`` = column,
+        ``v`` = row (down); ``depth`` is camera-space z (positive in front).
+        """
+        pc = self.world_to_camera(points)
+        z = pc[..., 2]
+        inv_z = 1.0 / jnp.where(jnp.abs(z) > eps, z, eps)
+        xu = self.f * pc[..., 0] * inv_z
+        yu = self.f * pc[..., 1] * inv_z
+        xd, yd = _distort(xu, yu, self.kappa1)
+        u = self.cx + self.sx * xd
+        v = self.cy + yd
+        return jnp.stack([u, v], axis=-1), z
+
+    def pixel_rays(self, uv: jnp.ndarray):
+        """Pixel coords (…, 2) → world-space unit ray directions from the
+        camera center (undoing radial distortion)."""
+        xd = (uv[..., 0] - self.cx) / self.sx
+        yd = uv[..., 1] - self.cy
+        r2 = xd * xd + yd * yd
+        scale = 1.0 + self.kappa1 * r2
+        xu = xd * scale
+        yu = yd * scale
+        d_cam = jnp.stack([xu / self.f, yu / self.f, jnp.ones_like(xu)], axis=-1)
+        d_world = d_cam @ self.rotation  # R^T d
+        return d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
+
+    def frustum_params(self, near: float, far: float):
+        """Asymmetric frustum ``(l, r, b, t, n, f)`` honoring the principal
+        point — the same construction as ``MakeFrustum``
+        (``glutcallbacks.cpp:626-642``) but derived from intrinsics directly."""
+        half_w = near * self.width / (2.0 * self.f * self.sx)
+        half_h = near * self.height / (2.0 * self.f)
+        off_x = 2.0 * (self.width / 2.0 - self.cx) / self.width * half_w
+        off_y = 2.0 * (self.height / 2.0 - self.cy) / self.height * half_h
+        return (
+            -half_w + off_x,
+            half_w + off_x,
+            -half_h - off_y,
+            half_h - off_y,
+            near,
+            far,
+        )
+
+
+def _distort(xu: jnp.ndarray, yu: jnp.ndarray, kappa1) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Invert ``Xu = Xd (1 + kappa1 r²)`` for ``Xd`` by fixed-point iteration.
+
+    kappa1·r² is ≲1e-2 for the shipped calibrations (e.g. 1.66e-8 at
+    ``img/cup/cup.cal``), so three iterations converge far below float32 eps.
+    """
+
+    def body(_, xy):
+        xd, yd = xy
+        r2 = xd * xd + yd * yd
+        s = 1.0 + kappa1 * r2
+        return xu / s, yu / s
+
+    xd, yd = jax.lax.fori_loop(0, 3, body, (xu, yu))
+    return xd, yd

@@ -1,0 +1,219 @@
+"""Differentiable BRDF shading models.
+
+Replaces the reference's shading-geometry kernels and residual model
+(``GetCosLN``/``GetCosNH``/``GetCosRV`` at ``/root/reference/brdfdata.cpp:799-943``
+and ``BRDFFunc`` at ``brdfdata.cpp:969-989``) with batched, differentiable JAX
+math. The reference's documented bugs are **fixed**, not replicated
+(SURVEY.md §2.1):
+
+- ``GetCosRV`` built the light vector as ``(x−led_x, x−led_y, x−led_z)``
+  reusing the centroid's ``x`` for all components (``brdfdata.cpp:835``) and
+  returned ``R·P`` instead of ``R·V`` (``brdfdata.cpp:849``). Here the
+  reflection vector is ``R = 2 (N·L) N − L`` and the returned quantity is
+  ``R·V``.
+- Phong's energy-conserving normalization is ``(n+2)/(2π)``; the reference
+  *multiplied* by π (``(p[2]+2)/2·π``, ``brdfdata.cpp:981``) in the fit while
+  the renderer divided (``glutcallbacks.cpp:420-428``). Here both paths share
+  one correct implementation.
+
+All model evaluators are shaped ``f(params (..., M), angles (..., V-dims)) →
+intensity`` and broadcast, so the same code serves per-texel fitting (vmapped
+over texels), whole-image rendering, and float64 reference evaluation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+class ShadingGeometry(NamedTuple):
+    """Unit vectors for each (texel, light) pair.
+
+    ``l`` and ``v`` are (..., V, 3); ``n`` is (..., 3) (per texel, broadcast
+    over lights). Kept around for models that perturb the normal (normal-map
+    fitting); plain lobe fits only need :class:`ShadingAngles`.
+    """
+
+    n: jnp.ndarray  # (..., 3) unit surface normal
+    l: jnp.ndarray  # (..., V, 3) unit texel→light
+    v: jnp.ndarray  # (..., V, 3) unit texel→eye
+
+
+class ShadingAngles(NamedTuple):
+    """Cosine terms for each (texel, light) pair; all (..., V)."""
+
+    cos_ln: jnp.ndarray  # N·L   (the reference's phi, GetCosLN)
+    cos_nh: jnp.ndarray  # N·H   (the reference's theta', GetCosNH)
+    cos_rv: jnp.ndarray  # R·V   (the reference's theta, GetCosRV — fixed)
+    cos_vn: jnp.ndarray  # N·V   (needed by Cook-Torrance; not in reference)
+
+
+def _normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), _EPS)
+
+
+def shading_geometry(
+    points: jnp.ndarray,     # (..., 3) surface points (triangle centroids / texels)
+    normals: jnp.ndarray,    # (..., 3) unit normals
+    eye: jnp.ndarray,        # (3,) camera position (world)
+    lights: jnp.ndarray,     # (V, 3) light positions (world)
+) -> ShadingGeometry:
+    l = _normalize(lights - points[..., None, :])            # (..., V, 3)
+    v = _normalize(eye - points)[..., None, :]               # (..., 1, 3)
+    v = jnp.broadcast_to(v, l.shape)
+    return ShadingGeometry(n=normals, l=l, v=v)
+
+
+def angles_from_geometry(geom: ShadingGeometry) -> ShadingAngles:
+    n = geom.n[..., None, :]                                  # (..., 1, 3)
+    cos_ln = jnp.sum(n * geom.l, axis=-1)
+    h = _normalize(geom.l + geom.v)
+    cos_nh = jnp.sum(n * h, axis=-1)
+    # reflection of L about N: R = 2 (N·L) N − L   (fixes brdfdata.cpp:835,849)
+    r = 2.0 * cos_ln[..., None] * n - geom.l
+    cos_rv = jnp.sum(r * geom.v, axis=-1)
+    cos_vn = jnp.sum(n * geom.v, axis=-1)
+    return ShadingAngles(cos_ln=cos_ln, cos_nh=cos_nh, cos_rv=cos_rv, cos_vn=cos_vn)
+
+
+def shading_angles(points, normals, eye, lights) -> ShadingAngles:
+    """Cosine terms for every (texel, light) pair — the batched, corrected
+    analogue of the reference's per-surface loops at ``brdfdata.cpp:799-943``."""
+    return angles_from_geometry(shading_geometry(points, normals, eye, lights))
+
+
+# ---------------------------------------------------------------------------
+# Lobes
+# ---------------------------------------------------------------------------
+
+
+def _safe_pow(base: jnp.ndarray, expo: jnp.ndarray) -> jnp.ndarray:
+    """``max(base, 0)^expo`` with finite gradients at base<=0."""
+    clamped = jnp.maximum(base, _EPS)
+    return jnp.where(base > 0, jnp.power(clamped, expo), 0.0)
+
+
+def phong(params: jnp.ndarray, angles: ShadingAngles) -> jnp.ndarray:
+    """Energy-conserving Phong: ``I = kd·⟨N·L⟩ + ks·(n+2)/(2π)·⟨R·V⟩ⁿ``.
+
+    Same lobe as ``BRDFFunc``'s model 0 (``brdfdata.cpp:978-982``) but with the
+    normalization correctly *dividing* by 2π.
+    """
+    kd = params[..., 0:1]
+    ks = params[..., 1:2]
+    n = params[..., 2:3]
+    diff = kd * jnp.maximum(angles.cos_ln, 0.0)
+    # horizon mask: no specular from lights below the surface (the reference's
+    # BRDFFunc leaked specular for cos_ln ≤ 0)
+    spec = ks * (n + 2.0) / (2.0 * jnp.pi) * _safe_pow(angles.cos_rv, n)
+    return diff + spec * (angles.cos_ln > 0)
+
+
+def blinn_phong(params: jnp.ndarray, angles: ShadingAngles) -> jnp.ndarray:
+    """``I = kd·⟨N·L⟩ + ks·⟨N·H⟩ⁿ`` — ``BRDFFunc`` model 1
+    (``brdfdata.cpp:983-987``)."""
+    kd = params[..., 0:1]
+    ks = params[..., 1:2]
+    n = params[..., 2:3]
+    diff = kd * jnp.maximum(angles.cos_ln, 0.0)
+    spec = ks * _safe_pow(angles.cos_nh, n)
+    return diff + spec * (angles.cos_ln > 0)
+
+
+def cook_torrance(params: jnp.ndarray, angles: ShadingAngles) -> jnp.ndarray:
+    """Cook-Torrance with GGX distribution, Smith-GGX visibility and Schlick
+    Fresnel (F0 folded into ks):
+
+    ``I = kd/π·⟨N·L⟩ + ks · D(h)·V(l,v)·F(h) · ⟨N·L⟩``
+
+    where ``V = G/(4 ⟨N·L⟩⟨N·V⟩)`` is the height-correlated Smith visibility.
+    Params: ``(kd, ks, roughness)``. This is the extension lobe the BASELINE
+    configs 3-5 call for; the reference had no microfacet model.
+    """
+    kd = params[..., 0:1]
+    ks = params[..., 1:2]
+    rough = jnp.maximum(params[..., 2:3], 1e-3)
+    a2 = (rough * rough) ** 2
+
+    nl = jnp.maximum(angles.cos_ln, 0.0)
+    nv = jnp.maximum(angles.cos_vn, _EPS)
+    nh = jnp.maximum(angles.cos_nh, 0.0)
+
+    # GGX normal distribution
+    d_denom = nh * nh * (a2 - 1.0) + 1.0
+    d = a2 / jnp.maximum(jnp.pi * d_denom * d_denom, _EPS)
+
+    # height-correlated Smith visibility (G / (4 nl nv))
+    lam_v = nl * jnp.sqrt(nv * nv * (1.0 - a2) + a2)
+    lam_l = nv * jnp.sqrt(nl * nl * (1.0 - a2) + a2)
+    vis = 0.5 / jnp.maximum(lam_v + lam_l, _EPS)
+
+    # Fresnel is F0 ≡ 1 here (folded into ks); cook_torrance_fresnel adds a
+    # live Schlick term with a fitted f0.
+    spec = ks * d * vis * nl
+    diff = kd / jnp.pi * nl
+    return diff + spec * (nl > 0)
+
+
+def _lv_from_angles(angles: ShadingAngles) -> jnp.ndarray:
+    """Recover L·V from cos_rv and the normal cosines:
+    R = 2(N·L)N − L ⇒ R·V = 2(N·L)(N·V) − L·V."""
+    return 2.0 * angles.cos_ln * angles.cos_vn - angles.cos_rv
+
+
+def cook_torrance_fresnel(params: jnp.ndarray, angles: ShadingAngles) -> jnp.ndarray:
+    """4-parameter Cook-Torrance ``(kd, ks, roughness, f0)`` with a live
+    Schlick Fresnel term."""
+    base = cook_torrance(params[..., :3], angles)
+    kd = params[..., 0:1]
+    ks = params[..., 1:2]
+    f0 = params[..., 3:4]
+    nl = jnp.maximum(angles.cos_ln, 0.0)
+    lv = _lv_from_angles(angles)
+    vh = jnp.sqrt(jnp.maximum((1.0 + lv) / 2.0, _EPS))
+    fresnel = f0 + (1.0 - f0) * _safe_pow(1.0 - vh, jnp.asarray(5.0))
+    # re-scale the specular part of `base` by Fresnel: base = diff + spec
+    diff = kd / jnp.pi * nl
+    spec = base - diff
+    return diff + spec * fresnel
+
+
+class ModelSpec(NamedTuple):
+    name: str
+    n_params: int
+    fn: Callable[[jnp.ndarray, ShadingAngles], jnp.ndarray]
+    param_names: tuple[str, ...]
+    p0: tuple[float, ...]       # default starting point (reference used
+                                # {0.5, 1, 1}, brdfdata.cpp:1085)
+    lower: tuple[float, ...]    # default box (reference: [0,100]³,
+    upper: tuple[float, ...]    # brdfdata.cpp:1115-1117)
+
+
+MODELS: dict[str, ModelSpec] = {
+    "phong": ModelSpec(
+        "phong", 3, phong, ("kd", "ks", "n"),
+        (0.5, 1.0, 1.0), (0.0, 0.0, 0.0), (100.0, 100.0, 100.0),
+    ),
+    "blinn_phong": ModelSpec(
+        "blinn_phong", 3, blinn_phong, ("kd", "ks", "n"),
+        (0.5, 1.0, 1.0), (0.0, 0.0, 0.0), (100.0, 100.0, 100.0),
+    ),
+    "cook_torrance": ModelSpec(
+        "cook_torrance", 3, cook_torrance, ("kd", "ks", "roughness"),
+        (0.5, 0.5, 0.5), (0.0, 0.0, 1e-3), (100.0, 100.0, 1.0),
+    ),
+    "cook_torrance_fresnel": ModelSpec(
+        "cook_torrance_fresnel", 4, cook_torrance_fresnel,
+        ("kd", "ks", "roughness", "f0"),
+        (0.5, 0.5, 0.5, 0.5), (0.0, 0.0, 1e-3, 0.0), (100.0, 100.0, 1.0, 1.0),
+    ),
+}
+
+
+def brdf_eval(model: str, params: jnp.ndarray, angles: ShadingAngles) -> jnp.ndarray:
+    """Evaluate a registered model by name."""
+    return MODELS[model].fn(params, angles)

@@ -1,0 +1,135 @@
+"""Linearized grid initialization for lobe fits.
+
+The reference starts every per-pixel fit at the fixed point ``{0.5, 1, 1}``
+(``/root/reference/brdfdata.cpp:1085``), which strands many texels in a
+well-known trap of Phong-family objectives: once ``ks`` reaches its 0 bound,
+the shininess has zero Jacobian (it only appears multiplied by ``ks``) and the
+fit deadlocks at a spurious stationary point.
+
+This module removes the trap structurally instead of imitating it: every
+registered lobe is *linear in (kd, ks) given its shape parameters*, so for a
+small grid of shape values we can solve the 2-variable nonnegative
+least-squares per texel in closed form, score each grid point by its χ², and
+start LM from the best — a fully vectorized, TPU-friendly initializer (a
+(G, T, V) elementwise pass + tiny 2×2 solves; no iteration).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from brdf_tpu.models.brdf import MODELS, ShadingAngles
+
+
+def default_shape_grid(model: str, num: int = 16) -> np.ndarray:
+    """Grid over the model's nonlinear shape parameters, shaped (G, k)."""
+    if model in ("phong", "blinn_phong"):
+        # shininess exponent: log-spaced 1 .. ~300
+        return np.geomspace(1.0, 300.0, num)[:, None]
+    if model == "cook_torrance":
+        return np.linspace(0.03, 1.0, num)[:, None]
+    if model == "cook_torrance_fresnel":
+        r = np.linspace(0.03, 1.0, max(num // 4, 2))
+        f = np.linspace(0.05, 1.0, 4)
+        rr, ff = np.meshgrid(r, f, indexing="ij")
+        return np.stack([rr.ravel(), ff.ravel()], axis=-1)
+    raise ValueError(f"no default shape grid for model {model!r}")
+
+
+def _nnls2(aa, ab, bb, ay, by):
+    """Closed-form 2-variable nonnegative least squares
+    ``min ‖x₀·A + x₁·B − y‖², x ≥ 0`` from the Gram entries.
+
+    Solve unconstrained 2×2; if a coefficient is negative, fall back to the
+    better of the two single-variable clamped solutions (exact for 2 vars).
+    All inputs broadcast elementwise.
+    """
+    det = aa * bb - ab * ab
+    det_safe = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    x0 = (bb * ay - ab * by) / det_safe
+    x1 = (aa * by - ab * ay) / det_safe
+    interior_ok = (jnp.abs(det) > 1e-30) & (x0 >= 0) & (x1 >= 0)
+
+    # single-variable solutions (the other clamped to 0)
+    a_only = jnp.maximum(ay / jnp.maximum(aa, 1e-30), 0.0)
+    b_only = jnp.maximum(by / jnp.maximum(bb, 1e-30), 0.0)
+    # χ² (up to the constant yᵀy): ‖xA+yB‖² − 2 xᵀ(A,B)ᵀy
+    cost_a = a_only * a_only * aa - 2.0 * a_only * ay
+    cost_b = b_only * b_only * bb - 2.0 * b_only * by
+    pick_a = cost_a <= cost_b
+    edge0 = jnp.where(pick_a, a_only, 0.0)
+    edge1 = jnp.where(pick_a, 0.0, b_only)
+
+    out0 = jnp.where(interior_ok, x0, edge0)
+    out1 = jnp.where(interior_ok, x1, edge1)
+    return out0, out1
+
+
+def linear_grid_init(
+    model: str,
+    angles: ShadingAngles,
+    target: jnp.ndarray,
+    shape_grid: np.ndarray | None = None,
+    weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Best (kd, ks, shape…) start per texel from a shape-parameter grid.
+
+    Args:
+      model: registered model name (must be linear in its first two params).
+      angles: per-(texel, view) cosines, leading shape ``(..., V)``.
+      target: measured intensities ``(..., V)``.
+      shape_grid: ``(G, k)`` nonlinear-parameter grid (default per model).
+      weights: optional per-(texel, view) weights (e.g. visibility masks).
+
+    Returns:
+      ``(..., 2 + k)`` initial parameters.
+    """
+    spec = MODELS[model]
+    k = spec.n_params - 2
+    if shape_grid is None:
+        shape_grid = default_shape_grid(model)
+    shape_grid = np.asarray(shape_grid, dtype=np.float64).reshape(-1, k)
+    g_count = shape_grid.shape[0]
+    dtype = target.dtype
+
+    if weights is None:
+        weights = jnp.ones_like(target)
+
+    best_cost = jnp.full(target.shape[:-1], jnp.inf, dtype)
+    best_p = jnp.zeros(target.shape[:-1] + (spec.n_params,), dtype)
+
+    ty = target * weights
+    for gi in range(g_count):
+        shape_vals = shape_grid[gi]
+        unit_kd = jnp.asarray([1.0, 0.0, *shape_vals], dtype)
+        unit_ks = jnp.asarray([0.0, 1.0, *shape_vals], dtype)
+        a = spec.fn(unit_kd, angles)              # diffuse basis  (..., V)
+        b = spec.fn(unit_ks, angles)              # specular basis (..., V)
+        aw = a * weights
+        bw = b * weights
+        aa = jnp.sum(aw * a, axis=-1)
+        ab = jnp.sum(aw * b, axis=-1)
+        bb = jnp.sum(bw * b, axis=-1)
+        ay = jnp.sum(a * ty, axis=-1)
+        by = jnp.sum(b * ty, axis=-1)
+        kd, ks = _nnls2(aa, ab, bb, ay, by)
+        cost = kd * kd * aa + ks * ks * bb + 2 * kd * ks * ab - 2 * (kd * ay + ks * by)
+        better = cost < best_cost
+        best_cost = jnp.where(better, cost, best_cost)
+        p_gi = jnp.concatenate(
+            [
+                kd[..., None],
+                ks[..., None],
+                jnp.broadcast_to(
+                    jnp.asarray(shape_vals, dtype), kd.shape + (k,)
+                ),
+            ],
+            axis=-1,
+        )
+        best_p = jnp.where(better[..., None], p_gi, best_p)
+
+    # keep the start strictly inside the solver's default box
+    lo = jnp.asarray(spec.lower, dtype)
+    hi = jnp.asarray(spec.upper, dtype)
+    return jnp.clip(best_p, lo, hi)

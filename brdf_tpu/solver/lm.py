@@ -1,0 +1,470 @@
+"""Batched box-constrained Levenberg-Marquardt in pure JAX.
+
+This module is the TPU-native replacement for the reference's vendored levmar
+C library (``/root/reference/levmar/``): the same family of damped
+normal-equation solvers, but expressed as ``lax.while_loop`` state machines
+that ``vmap`` over thousands of independent problems (texels) and ``jit``
+end-to-end, with Jacobians from JAX forward-mode autodiff instead of finite
+differences.
+
+Algorithm lineage (with the reference's entry points it replaces):
+
+- :func:`levmar`      — unconstrained LM with adaptive damping and Nielsen's
+  gain-ratio μ update (``LEVMAR_DER``/``DIF``, ``levmar/lm_core.c:64-842``).
+- :func:`levmar_bc`   — Kanzow-style projected LM for box constraints: step
+  from damped normal equations, projected onto the box
+  (``LEVMAR_BC_DER``/``DIF``, ``levmar/lmbc_core.c:369-1129`` — the solver the
+  reference app actually calls, ``brdfdata.cpp:1058,1119``).
+- :func:`levmar_lec`  — linear-equality constraints by null-space elimination
+  through a QR factorization (``LEVMAR_LEC_DER``, ``levmar/lmlec_core.c``).
+
+Termination reasons mirror levmar's ``info[6]`` codes (``levmar/lm_core.c:80-90``)
+so downstream diagnostics translate directly; counters ``nfev``/``njev`` mirror
+``info[7..8]``.
+
+Design notes (TPU):
+- One *outer* iteration recomputes the Jacobian (forward-mode: m≈3-8 pushes
+  m JVPs through the residual — the right mode for these shapes); an *inner*
+  damping loop retries ``(JᵀJ + μI) δ = −g`` with growing μ until a step is
+  accepted, re-evaluating only the residual. This matches levmar's loop
+  nesting, so autodiff work is never wasted on rejected steps.
+- The whole solver is a pytree-carrying ``while_loop``; under ``vmap`` JAX
+  batches it (the predicate becomes "any problem still active"), giving
+  per-texel early exit semantics without ragged control flow.
+- ``JᵀJ`` is m×m (tiny); the damped system is solved by Cholesky. A non-PD
+  system yields NaNs, which the acceptance test rejects, growing μ — exactly
+  the recovery levmar implements via its solver return codes.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class StopReason(enum.IntEnum):
+    """Termination codes, aligned with levmar ``info[6]`` semantics
+    (``levmar/lm_core.c:80-90``)."""
+
+    RUNNING = 0
+    SMALL_GRADIENT = 1   # ||J^T e||_inf (projected) below eps1
+    SMALL_DP = 2         # ||δp|| below eps2 · ||p||
+    MAX_ITERATIONS = 3   # itmax reached
+    SINGULAR = 4         # normal equations unsolvable even with large μ
+    NO_REDUCTION = 5     # μ overflow: no further reduction possible
+    SMALL_CHI2 = 6       # ||e||² below eps3
+    INVALID_VALUES = 7   # NaN/Inf residuals at the current point
+
+
+class LMOptions(NamedTuple):
+    """Solver controls. Defaults mirror the reference app's opts
+    (``brdfdata.cpp:1049-1057``): ``tau = LM_INIT_MU = 1e-3``,
+    ``eps* = {1e-15, 1e-15, 1e-20}``. For float32 problems pass looser
+    tolerances (e.g. 1e-6/1e-6/1e-12)."""
+
+    tau: float = 1e-3        # μ0 = tau · max diag(JᵀJ)
+    eps1: float = 1e-15      # gradient inf-norm threshold
+    eps2: float = 1e-15      # relative step-size threshold
+    eps3: float = 1e-20      # χ² threshold
+    itmax: int = 100         # outer iterations (reference per-pixel fit value)
+    max_inner: int = 24      # damping retries per outer iteration
+    mu_max: float = 1e32     # μ ceiling → NO_REDUCTION
+
+
+class LMResult(NamedTuple):
+    p: jnp.ndarray          # (..., m) fitted parameters
+    chi2: jnp.ndarray       # (...,) final ||e||²          (levmar info[1])
+    chi2_init: jnp.ndarray  # (...,) initial ||e||²        (levmar info[0])
+    g_inf: jnp.ndarray      # (...,) final projected-gradient inf-norm (info[2])
+    iters: jnp.ndarray      # (...,) outer iterations      (info[5])
+    stop: jnp.ndarray       # (...,) StopReason            (info[6])
+    nfev: jnp.ndarray       # (...,) residual evaluations  (info[7])
+    njev: jnp.ndarray       # (...,) Jacobian evaluations  (info[8])
+
+
+class _State(NamedTuple):
+    p: jnp.ndarray
+    e: jnp.ndarray
+    chi2: jnp.ndarray
+    g_inf: jnp.ndarray
+    mu: jnp.ndarray
+    nu: jnp.ndarray
+    iters: jnp.ndarray
+    stop: jnp.ndarray
+    nfev: jnp.ndarray
+    njev: jnp.ndarray
+
+
+def _solve_damped(jtj: jnp.ndarray, g: jnp.ndarray, mu: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``(JᵀJ + μI) δ = −g`` by Cholesky. Non-PD systems produce NaN,
+    which the caller's acceptance test treats as a rejected step (the analogue
+    of levmar's linear-solver failure path, ``lmbc_core.c:694-700``)."""
+    m = jtj.shape[-1]
+    a = jtj + mu * jnp.eye(m, dtype=jtj.dtype)
+    chol = jnp.linalg.cholesky(a)
+    y = jax.scipy.linalg.solve_triangular(chol, -g, lower=True)
+    return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+
+
+def _lm_single(
+    residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    jac_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    p0: jnp.ndarray,
+    lower: jnp.ndarray,
+    upper: jnp.ndarray,
+    opts: LMOptions,
+) -> LMResult:
+    """One box-constrained LM solve (vmapped by the public wrappers)."""
+    dtype = p0.dtype
+    eps1 = jnp.asarray(opts.eps1, dtype)
+    eps2 = jnp.asarray(opts.eps2, dtype)
+    eps3 = jnp.asarray(opts.eps3, dtype)
+
+    def proj(p):
+        return jnp.clip(p, lower, upper)
+
+    p0 = proj(p0)
+    e0 = residual_fn(p0)
+    chi2_0 = jnp.dot(e0, e0)
+    stop0 = jnp.where(
+        jnp.isfinite(chi2_0),
+        jnp.int32(StopReason.RUNNING),
+        jnp.int32(StopReason.INVALID_VALUES),
+    )
+
+    init = _State(
+        p=p0,
+        e=e0,
+        chi2=chi2_0,
+        g_inf=jnp.asarray(jnp.inf, dtype),
+        mu=jnp.asarray(0.0, dtype),
+        nu=jnp.asarray(2.0, dtype),
+        iters=jnp.int32(0),
+        stop=stop0,
+        nfev=jnp.int32(1),
+        njev=jnp.int32(0),
+    )
+
+    def cond(s: _State):
+        return (s.stop == StopReason.RUNNING) & (s.iters < opts.itmax)
+
+    def body(s: _State) -> _State:
+        j = jac_fn(s.p)                       # (n, m)
+        jtj = j.T @ j                         # (m, m)
+        g = j.T @ s.e                         # (m,)
+
+        # Projected-gradient convergence measure: for interior points this is
+        # ‖g‖_inf; at active bounds, components pushing outward drop out —
+        # the batched analogue of lmbc's free-variable test
+        # (lmbc_core.c:634-646).
+        pg = s.p - proj(s.p - g)
+        g_inf = jnp.max(jnp.abs(pg))
+        grad_conv = g_inf <= eps1
+
+        # Active-set freeze: a variable sitting exactly on a bound whose
+        # gradient pushes outward is removed from the normal equations, so the
+        # free variables take a proper (not clipped-compromise) damped-GN
+        # step. This is the batched stand-in for lmbc's free-subvector
+        # handling (lmbc_core.c:634-646, 871-946): clipping alone lets a
+        # stuck coordinate poison the whole step.
+        frozen = ((s.p <= lower) & (g > 0)) | ((s.p >= upper) & (g < 0))
+        free = (~frozen).astype(dtype)
+        free_outer = free[:, None] * free[None, :]
+        jtj_f = jtj * free_outer + jnp.diag(jnp.where(frozen, 1.0, 0.0).astype(dtype))
+        g_f = g * free
+
+        mu = jnp.where(
+            s.iters == 0, opts.tau * jnp.max(jnp.diagonal(jtj)), s.mu
+        ).astype(dtype)
+
+        class Inner(NamedTuple):
+            mu: jnp.ndarray
+            nu: jnp.ndarray
+            p: jnp.ndarray
+            e: jnp.ndarray
+            chi2: jnp.ndarray
+            stop: jnp.ndarray
+            nfev: jnp.ndarray
+            accepted: jnp.ndarray
+            tries: jnp.ndarray
+
+        inner0 = Inner(
+            mu=mu, nu=s.nu, p=s.p, e=s.e, chi2=s.chi2,
+            stop=jnp.int32(StopReason.RUNNING), nfev=s.nfev,
+            accepted=jnp.bool_(False), tries=jnp.int32(0),
+        )
+
+        def inner_cond(t: Inner):
+            return (
+                (~t.accepted)
+                & (t.stop == StopReason.RUNNING)
+                & (t.tries < opts.max_inner)
+            )
+
+        def inner_body(t: Inner) -> Inner:
+            dp = _solve_damped(jtj_f, g_f, t.mu)
+            pnew = proj(s.p + dp)
+            dpa = pnew - s.p                  # actual (projected) step
+            dp_norm2 = jnp.dot(dpa, dpa)
+            p_norm2 = jnp.dot(s.p, s.p)
+            solver_failed = ~jnp.all(jnp.isfinite(dp))
+
+            small_dp = dp_norm2 <= eps2 * eps2 * p_norm2
+
+            enew = residual_fn(pnew)
+            chi2new = jnp.dot(enew, enew)
+            finite = jnp.isfinite(chi2new)
+            df = t.chi2 - chi2new
+            # Predicted reduction from the quadratic model,
+            # −(2 gᵀδ + δᵀ JᵀJ δ): for the exact (unclipped) damped solve this
+            # equals Madsen/Nielsen's δᵀ(μδ − g) (lm_core.c:367-396), but
+            # unlike that shortcut it stays valid when the step has been
+            # projected onto the box.
+            dl = -(2.0 * jnp.dot(g, dpa) + jnp.dot(dpa, jtj @ dpa))
+
+            accept = (~solver_failed) & finite & (df > 0)
+
+            # Nielsen μ update on accept; ν-doubling on reject
+            rho = jnp.where(dl > 0, df / jnp.maximum(dl, jnp.finfo(dtype).tiny), 1.0)
+            tmp = 2.0 * rho - 1.0
+            mu_acc = t.mu * jnp.maximum(1.0 / 3.0, 1.0 - tmp * tmp * tmp)
+            mu_rej = t.mu * t.nu
+            mu_next = jnp.where(accept, mu_acc, mu_rej).astype(dtype)
+            nu_next = jnp.where(accept, jnp.asarray(2.0, dtype), t.nu * 2.0)
+
+            stop = jnp.int32(StopReason.RUNNING)
+            stop = jnp.where(
+                small_dp & ~solver_failed, jnp.int32(StopReason.SMALL_DP), stop
+            )
+            stop = jnp.where(
+                mu_next > opts.mu_max, jnp.int32(StopReason.NO_REDUCTION), stop
+            )
+            stop = jnp.where(
+                solver_failed & (t.mu > opts.mu_max / 2),
+                jnp.int32(StopReason.SINGULAR),
+                stop,
+            )
+
+            return Inner(
+                mu=mu_next,
+                nu=nu_next,
+                p=jnp.where(accept, pnew, t.p),
+                e=jnp.where(accept, enew, t.e),
+                chi2=jnp.where(accept, chi2new, t.chi2),
+                stop=stop,
+                nfev=t.nfev + 1,
+                accepted=accept,
+                tries=t.tries + 1,
+            )
+
+        t = jax.lax.while_loop(inner_cond, inner_body, inner0)
+
+        chi2_conv = t.chi2 <= eps3
+        stop = t.stop
+        stop = jnp.where(
+            (stop == StopReason.RUNNING) & (~t.accepted),
+            jnp.int32(StopReason.NO_REDUCTION),
+            stop,
+        )
+        stop = jnp.where(chi2_conv, jnp.int32(StopReason.SMALL_CHI2), stop)
+        stop = jnp.where(grad_conv, jnp.int32(StopReason.SMALL_GRADIENT), stop)
+
+        return _State(
+            p=t.p,
+            e=t.e,
+            chi2=t.chi2,
+            g_inf=g_inf,
+            mu=t.mu,
+            nu=t.nu,
+            iters=s.iters + 1,
+            stop=stop,
+            nfev=t.nfev,
+            njev=s.njev + 1,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    stop = jnp.where(
+        final.stop == StopReason.RUNNING,
+        jnp.int32(StopReason.MAX_ITERATIONS),
+        final.stop,
+    )
+    return LMResult(
+        p=final.p,
+        chi2=final.chi2,
+        chi2_init=chi2_0,
+        g_inf=final.g_inf,
+        iters=final.iters,
+        stop=stop,
+        nfev=final.nfev,
+        njev=final.njev,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public entry points
+# ---------------------------------------------------------------------------
+
+
+def _prep_bounds(p0, lower, upper):
+    m = p0.shape[-1]
+    dtype = p0.dtype
+    if lower is None:
+        lower = jnp.full((m,), -jnp.inf, dtype)
+    else:
+        lower = jnp.broadcast_to(jnp.asarray(lower, dtype), (m,))
+    if upper is None:
+        upper = jnp.full((m,), jnp.inf, dtype)
+    else:
+        upper = jnp.broadcast_to(jnp.asarray(upper, dtype), (m,))
+    return lower, upper
+
+
+def levmar_bc(
+    residual_fn: Callable[..., jnp.ndarray],
+    p0: jnp.ndarray,
+    lower=None,
+    upper=None,
+    data: Any = None,
+    opts: LMOptions = LMOptions(),
+    jac_fn: Callable[..., jnp.ndarray] | None = None,
+    data_axes: Any = 0,
+) -> LMResult:
+    """Box-constrained LM (replaces ``dlevmar_bc_der``/``dlevmar_bc_dif``,
+    ``levmar/levmar.h:126-146``).
+
+    Args:
+      residual_fn: ``residual_fn(p, data) -> (n,)`` residuals; the solver
+        minimizes their squared norm. (levmar took the model ``hx`` and target
+        ``x`` separately; here the caller folds the target into the residual.)
+      p0: ``(m,)`` single problem or ``(B, m)`` batch of independent problems
+        (the vmapped analogue of the reference's per-pixel loop,
+        ``brdfdata.cpp:1195-1221``).
+      lower/upper: box bounds, scalars or ``(m,)`` (``None`` → unconstrained).
+      data: per-problem auxiliary pytree (leading batch dim when batched).
+      jac_fn: optional analytic Jacobian ``(p, data) -> (n, m)``; defaults to
+        forward-mode autodiff.
+      data_axes: vmap axes for ``data`` (``None`` to broadcast shared data).
+    """
+    batched = p0.ndim == 2
+
+    if jac_fn is None:
+        def jac_of(p, d):
+            return jax.jacfwd(lambda q: residual_fn(q, d))(p)
+    else:
+        jac_of = jac_fn
+
+    lower_b, upper_b = _prep_bounds(p0, lower, upper)
+
+    def solve_one(p0_i, data_i):
+        return _lm_single(
+            functools.partial(_flip_args(residual_fn), data_i),
+            functools.partial(_flip_args(jac_of), data_i),
+            p0_i,
+            lower_b,
+            upper_b,
+            opts,
+        )
+
+    if batched:
+        return jax.vmap(solve_one, in_axes=(0, data_axes))(p0, data)
+    return solve_one(p0, data)
+
+
+def _flip_args(fn):
+    return lambda d, p: fn(p, d)
+
+
+def levmar(
+    residual_fn, p0, data=None, opts=LMOptions(), jac_fn=None, data_axes=0
+) -> LMResult:
+    """Unconstrained LM (replaces ``dlevmar_der``/``dlevmar_dif``,
+    ``levmar/levmar.h:106-124``) — the box solver with infinite bounds; the
+    projection and projected-gradient test then reduce to the identity and the
+    plain ``‖JᵀE‖_inf`` test of ``lm_core.c``."""
+    return levmar_bc(
+        residual_fn, p0, None, None, data=data, opts=opts, jac_fn=jac_fn,
+        data_axes=data_axes,
+    )
+
+
+def levmar_lec(
+    residual_fn,
+    p0: jnp.ndarray,
+    A: jnp.ndarray,
+    b: jnp.ndarray,
+    data: Any = None,
+    opts: LMOptions = LMOptions(),
+    data_axes: Any = 0,
+) -> LMResult:
+    """Linear-equality-constrained LM: minimize ``‖r(p)‖²`` s.t. ``A p = b``.
+
+    Null-space elimination exactly as ``levmar/lmlec_core.c:92+``: with
+    ``Aᵀ = QR``, every feasible point is ``p = c + Z y`` where ``c`` is the
+    min-norm solution of ``A c = b`` and ``Z`` spans ``null(A)``; the problem
+    reduces to unconstrained LM over ``y ∈ R^{m-k}``.
+    """
+    A = jnp.asarray(A, p0.dtype)
+    b = jnp.asarray(b, p0.dtype)
+    k, m = A.shape
+    q_full, _ = jnp.linalg.qr(A.T, mode="complete")  # (m, m)
+    z = q_full[:, k:]                                # (m, m-k) null-space basis
+    c = A.T @ jnp.linalg.solve(A @ A.T, b)           # min-norm particular sol.
+
+    def reduced_residual(y, d):
+        return residual_fn(c + z @ y, d)
+
+    batched = p0.ndim == 2
+    if batched:
+        y0 = (p0 - c[None, :]) @ z
+    else:
+        y0 = z.T @ (p0 - c)
+
+    res = levmar(reduced_residual, y0, data=data, opts=opts, data_axes=data_axes)
+    if batched:
+        p_fit = c[None, :] + res.p @ z.T
+    else:
+        p_fit = c + z @ res.p
+    return res._replace(p=p_fit)
+
+
+# ---------------------------------------------------------------------------
+# Jacobian utilities (levmar/misc_core.c equivalents)
+# ---------------------------------------------------------------------------
+
+
+def fd_jacobian(
+    residual_fn, p: jnp.ndarray, data=None, delta: float = 1e-6, central: bool = True
+) -> jnp.ndarray:
+    """Finite-difference Jacobian with levmar's per-element step rule
+    ``d_j = max(1e-4·|p_j|, δ)`` (``levmar/misc_core.c:137-211``). Used in
+    tests to cross-check autodiff, in the spirit of ``dlevmar_chkjac``."""
+    m = p.shape[-1]
+    d = jnp.maximum(1e-4 * jnp.abs(p), delta)
+
+    def col(j):
+        dp = jnp.zeros_like(p).at[j].set(d[j])
+        if central:
+            return (residual_fn(p + dp, data) - residual_fn(p - dp, data)) / (2 * d[j])
+        return (residual_fn(p + dp, data) - residual_fn(p, data)) / d[j]
+
+    cols = [col(j) for j in range(m)]
+    return jnp.stack(cols, axis=-1)
+
+
+def check_jacobian(
+    residual_fn, p: jnp.ndarray, data=None, jac_fn=None, delta: float = 1e-6
+):
+    """Relative agreement between the autodiff (or supplied) Jacobian and a
+    central-difference one — the role of ``dlevmar_chkjac``
+    (``levmar/misc_core.c:250-321``). Returns the max relative error."""
+    if jac_fn is None:
+        jac = jax.jacfwd(lambda q: residual_fn(q, data))(p)
+    else:
+        jac = jac_fn(p, data)
+    fd = fd_jacobian(residual_fn, p, data, delta=delta)
+    scale = jnp.maximum(jnp.abs(jac) + jnp.abs(fd), 1e-8)
+    return jnp.max(jnp.abs(jac - fd) / scale)

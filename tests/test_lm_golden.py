@@ -1,0 +1,117 @@
+"""Golden NLS problems for the JAX LM solver — the lmdemo.c pattern
+(SURVEY.md §4, item 1): known minimizers, termination codes, and batched
+semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brdf_tpu.solver import (
+    LMOptions,
+    StopReason,
+    check_jacobian,
+    levmar,
+    levmar_bc,
+    levmar_lec,
+)
+from brdf_tpu.solver.problems import PROBLEMS, make_expfit_data, _exponential_fit
+
+OPTS = LMOptions(itmax=300)
+
+
+@pytest.mark.parametrize("prob", PROBLEMS, ids=lambda p: p.name)
+def test_golden_problem(prob):
+    p0 = jnp.asarray(prob.p0, jnp.float64)
+    if prob.A is not None:
+        res = levmar_lec(
+            prob.residual, p0, prob.A, prob.b, data=prob.data, opts=OPTS,
+            data_axes=None,
+        )
+    elif prob.lower is not None or prob.upper is not None:
+        res = levmar_bc(
+            prob.residual, p0, prob.lower, prob.upper, data=prob.data,
+            opts=OPTS, data_axes=None,
+        )
+    else:
+        res = levmar(prob.residual, p0, data=prob.data, opts=OPTS, data_axes=None)
+
+    np.testing.assert_allclose(
+        np.asarray(res.p), np.asarray(prob.p_star), atol=prob.tol, rtol=prob.tol
+    )
+    assert int(res.stop) in (
+        StopReason.SMALL_GRADIENT,
+        StopReason.SMALL_DP,
+        StopReason.SMALL_CHI2,
+    ), f"{prob.name}: bad stop reason {StopReason(int(res.stop))}"
+    assert int(res.iters) <= OPTS.itmax
+
+
+def test_batched_solves_match_individual():
+    """A batch of independent problems must reproduce per-problem solves —
+    the property the reference's serial per-pixel loop (brdfdata.cpp:1195-1221)
+    gets trivially and the vmapped solver must preserve."""
+    t, _ = make_expfit_data()
+    rng = np.random.default_rng(0)
+    true_params = np.abs(rng.normal(size=(8, 3))) + np.array([1.0, 0.05, 0.5])
+    ys = true_params[:, 0:1] * np.exp(-true_params[:, 1:2] * t[None]) + true_params[:, 2:3]
+
+    data = (jnp.asarray(np.broadcast_to(t, ys.shape)), jnp.asarray(ys))
+    p0 = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (8, 3))
+
+    batched = levmar(_exponential_fit, p0, data=data, opts=OPTS)
+    assert batched.p.shape == (8, 3)
+    np.testing.assert_allclose(np.asarray(batched.p), true_params, rtol=1e-4, atol=1e-4)
+
+    # spot-check one problem solved alone
+    single = levmar(
+        _exponential_fit,
+        jnp.asarray([1.0, 0.0, 0.0]),
+        data=(data[0][3], data[1][3]),
+        opts=OPTS,
+        data_axes=None,
+    )
+    np.testing.assert_allclose(np.asarray(single.p), np.asarray(batched.p[3]), rtol=1e-5, atol=1e-6)
+
+
+def test_box_projection_keeps_feasible():
+    from brdf_tpu.solver.problems import _quad_target
+
+    res = levmar_bc(
+        _quad_target,
+        jnp.asarray([5.0, -7.0]),
+        lower=(-1.0, -1.0),
+        upper=(1.0, 1.0),
+        opts=OPTS,
+        data_axes=None,
+    )
+    p = np.asarray(res.p)
+    assert np.all(p >= -1.0 - 1e-12) and np.all(p <= 1.0 + 1e-12)
+    np.testing.assert_allclose(p, [1.0, 1.0], atol=1e-8)
+
+
+def test_invalid_residuals_flagged():
+    def bad(p, data=None):
+        return jnp.stack([jnp.sqrt(p[0]) , p[1]])  # NaN for p0 < 0
+
+    res = levmar(bad, jnp.asarray([-1.0, 1.0]), opts=OPTS, data_axes=None)
+    assert int(res.stop) == StopReason.INVALID_VALUES
+
+
+def test_jacobian_check_matches_fd():
+    """chkjac-style agreement between autodiff and central differences
+    (levmar/misc_core.c:250-321 analogue)."""
+    from brdf_tpu.solver.problems import _meyer
+
+    err = check_jacobian(_meyer, jnp.asarray([8.85, 4.0, 2.5]))
+    assert float(err) < 1e-6
+
+
+def test_analytic_jacobian_path():
+    def res_fn(p, data=None):
+        return jnp.stack([10.0 * (p[1] - p[0] ** 2), 1.0 - p[0]])
+
+    def jac_fn(p, data=None):
+        return jnp.array([[-20.0 * p[0], 10.0], [-1.0, 0.0]])
+
+    r = levmar(res_fn, jnp.asarray([-1.2, 1.0]), opts=OPTS, jac_fn=jac_fn, data_axes=None)
+    np.testing.assert_allclose(np.asarray(r.p), [1.0, 1.0], atol=1e-8)
