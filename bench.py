@@ -1,0 +1,121 @@
+"""Headline benchmark: converged per-texel BRDF fits per second on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Baseline: the reference's own solver (vendored levmar 2.6, the library the app
+calls at brdfdata.cpp:1119) compiled -O3 and driven with the app's exact call
+profile — dlevmar_bc_dif, blinn-phong residual, m=3, n=16, itmax=100, box
+[0,100]³, opts {1e-3,1e-15,1e-15,1e-20} — measured on this machine's CPU at
+42,628 fits/s single-thread (see csrc/baseline/ for the driver). vs_baseline
+is our fits/s divided by that.
+
+The workload here is the same statistical task (random blinn-phong texels,
+16 views, randomized angles, fit from scratch) solved by this framework's
+pipeline: linear grid init + batched projected-LM, float32, on whatever
+jax.default_backend() provides (the driver runs it on one TPU v5e chip).
+A quality gate (median χ² and parameter recovery) guards against "fast but
+wrong" regressions.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from brdf_tpu.models.brdf import MODELS, ShadingAngles
+from brdf_tpu.solver.init import linear_grid_init
+from brdf_tpu.solver.lm import LMOptions, levmar_bc
+
+# levmar 2.6 (reference solver), -O3, single thread, this machine;
+# /tmp-built from /root/reference/levmar with the app's opts (see docstring).
+LEVMAR_BASELINE_FITS_PER_SEC = 42628.0
+
+T = 131072          # texels per batch
+V = 16              # views (the rig size)
+MODEL = "blinn_phong"
+
+
+def make_problem(rng: np.random.Generator, t: int, v: int):
+    """Random per-texel shading angles + intensities from known params."""
+    cos_ln = rng.uniform(0.0, 1.0, (t, v)).astype(np.float32)
+    cos_nh = rng.uniform(0.0, 1.0, (t, v)).astype(np.float32)
+    cos_rv = rng.uniform(-1.0, 1.0, (t, v)).astype(np.float32)
+    cos_vn = rng.uniform(0.1, 1.0, (t, v)).astype(np.float32)
+    ang = ShadingAngles(
+        cos_ln=jnp.asarray(cos_ln),
+        cos_nh=jnp.asarray(cos_nh),
+        cos_rv=jnp.asarray(cos_rv),
+        cos_vn=jnp.asarray(cos_vn),
+    )
+    true_p = np.stack(
+        [
+            rng.uniform(0.1, 0.9, t),
+            rng.uniform(0.2, 1.0, t),
+            rng.uniform(2.0, 30.0, t),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    target = MODELS[MODEL].fn(jnp.asarray(true_p), ang)
+    return ang, target, true_p
+
+
+def main():
+    spec = MODELS[MODEL]
+    opts = LMOptions(eps1=1e-6, eps2=1e-7, eps3=1e-12, itmax=30)
+
+    def residual(p, data):
+        a, y = data
+        return spec.fn(p, a) - y
+
+    @jax.jit
+    def fit(ang, target):
+        p0 = linear_grid_init(MODEL, ang, target)
+        res = levmar_bc(
+            residual, p0, spec.lower, spec.upper, data=(ang, target), opts=opts
+        )
+        return res.p, res.chi2
+
+    rng = np.random.default_rng(0)
+    ang, target, true_p = make_problem(rng, T, V)
+
+    # compile + warm up
+    p_fit, chi2 = fit(ang, target)
+    jax.block_until_ready((p_fit, chi2))
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        p_fit, chi2 = fit(ang, target)
+    jax.block_until_ready((p_fit, chi2))
+    secs = (time.perf_counter() - t0) / reps
+
+    fits_per_sec = T / secs
+    chi2_np = np.asarray(chi2)
+    rel = np.abs(np.asarray(p_fit) - true_p) / np.maximum(np.abs(true_p), 1e-3)
+    quality = {
+        "chi2_median": float(np.median(chi2_np)),
+        "chi2_p99": float(np.percentile(chi2_np, 99)),
+        "recovery_frac": float((rel.max(-1) < 1e-2).mean()),
+    }
+
+    out = {
+        "metric": "texel_fits_per_sec",
+        "value": round(fits_per_sec, 1),
+        "unit": "fits/s/chip",
+        "vs_baseline": round(fits_per_sec / LEVMAR_BASELINE_FITS_PER_SEC, 2),
+        "backend": jax.default_backend(),
+        "batch": T,
+        "views": V,
+        "secs_per_batch": round(secs, 4),
+        **quality,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,11 +59,14 @@ def _normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 def shading_geometry(
     points: jnp.ndarray,     # (..., 3) surface points (triangle centroids / texels)
     normals: jnp.ndarray,    # (..., 3) unit normals
-    eye: jnp.ndarray,        # (3,) camera position (world)
+    eye: jnp.ndarray,        # (3,) shared camera, or (V, 3) per-view cameras
     lights: jnp.ndarray,     # (V, 3) light positions (world)
 ) -> ShadingGeometry:
     l = _normalize(lights - points[..., None, :])            # (..., V, 3)
-    v = _normalize(eye - points)[..., None, :]               # (..., 1, 3)
+    if eye.ndim == 1:
+        v = _normalize(eye - points)[..., None, :]           # (..., 1, 3)
+    else:
+        v = _normalize(eye - points[..., None, :])           # (..., V, 3)
     v = jnp.broadcast_to(v, l.shape)
     return ShadingGeometry(n=normals, l=l, v=v)
 

@@ -1,0 +1,8 @@
+from brdf_tpu.pipeline.scene import Scene, load_reference_scene  # noqa: F401
+from brdf_tpu.pipeline.fit import (  # noqa: F401
+    FitReport,
+    build_face_problem,
+    fit_per_texel,
+    fit_single_material,
+)
+from brdf_tpu.pipeline.render import render_image, render_pixels, relight  # noqa: F401

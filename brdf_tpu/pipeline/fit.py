@@ -1,0 +1,194 @@
+"""End-to-end BRDF fitting drivers.
+
+The TPU replacements for the reference's fit stack (SURVEY.md §3.3-3.4):
+
+- :func:`build_face_problem` — gather per-face shading angles and per-face
+  measured intensities across views (replaces the pixel loops of
+  ``CalcBRDFEquation[_SingleBRDF]``, ``brdfdata.cpp:1138-1227``, using the
+  z-buffered raster map instead of centroid projection).
+- :func:`fit_per_texel` — batched per-texel×channel box-constrained LM over a
+  device mesh (replaces the serial ``SolveEquation`` loop,
+  ``brdfdata.cpp:1195-1221``).
+- :func:`fit_single_material` — one global fit over all texels' measurements
+  (replaces ``SolveEquation_SingleBRDF``, ``brdfdata.cpp:991-1075``; note the
+  reference stored that result with kd/ks swapped, ``brdfdata.cpp:1180-1182`` —
+  not replicated).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brdf_tpu.models.brdf import MODELS, ShadingAngles, shading_angles
+from brdf_tpu.parallel.fit import fit_texels_sharded
+from brdf_tpu.parallel.mesh import make_mesh
+from brdf_tpu.pipeline.scene import Scene
+from brdf_tpu.solver.init import linear_grid_init
+from brdf_tpu.solver.lm import LMOptions, LMResult, levmar_bc
+
+
+class TexelProblem(NamedTuple):
+    """Per-texel fit inputs: angles (T, V), intensities (T, V, C), weights (T, V)."""
+
+    angles: ShadingAngles
+    intensity: jnp.ndarray
+    weights: jnp.ndarray
+    face_ids: np.ndarray      # (T,) mesh face backing each texel
+
+
+def build_face_problem(scene: Scene, dtype=jnp.float32) -> TexelProblem:
+    """One texel per *visible* mesh face; per-face intensity = mean over the
+    pixels the face covers in each view (z-buffered visibility).
+
+    The reference instead fit every covered pixel separately with its face's
+    angles (``brdfdata.cpp:1195-1221``) — equivalent information, ~200× more
+    solves for identical per-face results; pixel-level texels come from UV
+    texelization (see ``texel.py``) where parameters genuinely vary per pixel.
+    """
+    mesh = scene.mesh
+    f_count = mesh.num_faces
+    v_count = scene.num_views
+
+    sums = np.zeros((v_count, f_count, 3), np.float64)
+    counts = np.zeros((v_count, f_count), np.int64)
+    for vi in range(v_count):
+        rm = scene.raster_map(vi)
+        fid = rm.face_id
+        cov = fid >= 0
+        ids = fid[cov]
+        np.add.at(sums[vi], ids, scene.images[vi][cov].astype(np.float64))
+        np.add.at(counts[vi], ids, 1)
+
+    visible = counts.sum(axis=0) > 0
+    face_ids = np.nonzero(visible)[0]
+    t = len(face_ids)
+
+    mean_i = np.zeros((t, v_count, 3), np.float32)
+    weights = np.zeros((t, v_count), np.float32)
+    for vi in range(v_count):
+        c = counts[vi][face_ids]
+        seen = c > 0
+        mean_i[seen, vi] = (
+            sums[vi][face_ids][seen] / c[seen][:, None]
+        ).astype(np.float32)
+        weights[:, vi] = seen.astype(np.float32)
+
+    centroids = mesh.centroids[face_ids]
+    normals = mesh.face_normals[face_ids]
+    eyes = jnp.asarray(scene.eyes(), dtype)
+    lights = jnp.asarray(scene.lights, dtype)
+    ang = shading_angles(centroids.astype(dtype), normals.astype(dtype), eyes, lights)
+
+    return TexelProblem(
+        angles=ang,
+        intensity=jnp.asarray(mean_i, dtype),
+        weights=jnp.asarray(weights, dtype),
+        face_ids=face_ids,
+    )
+
+
+@dataclasses.dataclass
+class FitReport:
+    """Fitted parameters + vectorized solver diagnostics (the levmar
+    ``info[]`` block, per texel per channel — SURVEY.md §5 failure-detection)."""
+
+    params: np.ndarray        # (T, C, m)
+    face_ids: np.ndarray      # (T,)
+    result: LMResult          # all fields (T, C)
+    model: str
+
+    def converged_fraction(self) -> float:
+        stop = np.asarray(self.result.stop)
+        return float(np.isin(stop, (1, 2, 6)).mean())
+
+    def chi2_summary(self) -> dict:
+        chi2 = np.asarray(self.result.chi2)
+        return {
+            "median": float(np.median(chi2)),
+            "p90": float(np.percentile(chi2, 90)),
+            "max": float(chi2.max()),
+        }
+
+
+def fit_per_texel(
+    problem: TexelProblem,
+    model: str = "blinn_phong",
+    opts: LMOptions | None = None,
+    mesh=None,
+) -> FitReport:
+    """Fit every (texel, channel) independently — 3·T problems, batched.
+
+    Channels fold into the texel batch (the reference looped them serially,
+    ``brdfdata.cpp:1205-1216``)."""
+    spec = MODELS[model]
+    t, v, c = problem.intensity.shape
+    if opts is None:
+        opts = LMOptions(eps1=1e-7, eps2=1e-8, eps3=1e-14, itmax=60)
+    if mesh is None:
+        mesh = make_mesh()
+
+    # fold channels into the batch: angles/weights repeat per channel
+    ang_rep = jax.tree.map(
+        lambda a: jnp.repeat(a, c, axis=0), problem.angles
+    )
+    target = problem.intensity.transpose(0, 2, 1).reshape(t * c, v)
+    w_rep = jnp.repeat(problem.weights, c, axis=0)
+
+    # pad the batch to the data-axis size
+    data_size = mesh.shape["data"]
+    pad = (-(t * c)) % data_size
+    if pad:
+        ang_rep = jax.tree.map(
+            lambda a: jnp.concatenate([a, jnp.repeat(a[:1], pad, 0)]), ang_rep
+        )
+        target = jnp.concatenate([target, jnp.zeros((pad, v), target.dtype)])
+        w_rep = jnp.concatenate([w_rep, jnp.zeros((pad, v), w_rep.dtype)])
+
+    res = fit_texels_sharded(model, ang_rep, target, mesh, opts=opts, weights=w_rep)
+    res = jax.tree.map(lambda a: np.asarray(a)[: t * c], res)
+    params = res.p.reshape(t, c, spec.n_params)
+    result = jax.tree.map(lambda a: a.reshape(t, c) if a.ndim == 1 else a, res)
+    return FitReport(params=params, face_ids=problem.face_ids, result=result, model=model)
+
+
+def fit_single_material(
+    problem: TexelProblem,
+    model: str = "blinn_phong",
+    opts: LMOptions | None = None,
+) -> np.ndarray:
+    """One global parameter set per channel over all texels' measurements
+    (n = T·V residuals), the ``SolveEquation_SingleBRDF`` path
+    (``brdfdata.cpp:991-1075``; itmax there was 2000). Returns (C, m)."""
+    spec = MODELS[model]
+    t, v, c = problem.intensity.shape
+    if opts is None:
+        opts = LMOptions(eps1=1e-8, eps2=1e-10, eps3=1e-16, itmax=300)
+
+    def residual(p, data):
+        ang, y, w = data
+        return ((spec.fn(p, ang) - y) * w).reshape(-1)
+
+    out = []
+    for ch in range(c):
+        target = problem.intensity[..., ch]
+        p0 = linear_grid_init(
+            model, problem.angles, target, weights=problem.weights
+        )
+        # collapse per-texel inits to one global start: weighted median
+        p0_global = jnp.median(p0, axis=0)
+        res = levmar_bc(
+            residual,
+            p0_global,
+            spec.lower,
+            spec.upper,
+            data=(problem.angles, target, problem.weights),
+            opts=opts,
+            data_axes=None,
+        )
+        out.append(np.asarray(res.p))
+    return np.stack(out)

@@ -73,6 +73,9 @@ class LMOptions(NamedTuple):
     itmax: int = 100         # outer iterations (reference per-pixel fit value)
     max_inner: int = 24      # damping retries per outer iteration
     mu_max: float = 1e32     # μ ceiling → NO_REDUCTION
+    axis_name: str | None = None  # mesh axis holding a sharded residual
+                                  # (view/measurement) dimension: χ², JᵀJ, Jᵀe
+                                  # become psums over it (SURVEY.md §2.3)
 
 
 class LMResult(NamedTuple):
@@ -124,12 +127,24 @@ def _lm_single(
     eps2 = jnp.asarray(opts.eps2, dtype)
     eps3 = jnp.asarray(opts.eps3, dtype)
 
+    if opts.axis_name is not None:
+        # Residuals live sharded over a mesh axis (the "view" axis of
+        # SURVEY.md §2.3): every contraction over the residual dimension is a
+        # partial sum followed by a psum; everything downstream (the m×m
+        # solve, the damping control) is replicated and bit-identical across
+        # shards.
+        def reduce_sum(x):
+            return jax.lax.psum(x, opts.axis_name)
+    else:
+        def reduce_sum(x):
+            return x
+
     def proj(p):
         return jnp.clip(p, lower, upper)
 
     p0 = proj(p0)
     e0 = residual_fn(p0)
-    chi2_0 = jnp.dot(e0, e0)
+    chi2_0 = reduce_sum(jnp.dot(e0, e0))
     stop0 = jnp.where(
         jnp.isfinite(chi2_0),
         jnp.int32(StopReason.RUNNING),
@@ -154,8 +169,8 @@ def _lm_single(
 
     def body(s: _State) -> _State:
         j = jac_fn(s.p)                       # (n, m)
-        jtj = j.T @ j                         # (m, m)
-        g = j.T @ s.e                         # (m,)
+        jtj = reduce_sum(j.T @ j)             # (m, m)
+        g = reduce_sum(j.T @ s.e)             # (m,)
 
         # Projected-gradient convergence measure: for interior points this is
         # ‖g‖_inf; at active bounds, components pushing outward drop out —
@@ -216,7 +231,7 @@ def _lm_single(
             small_dp = dp_norm2 <= eps2 * eps2 * p_norm2
 
             enew = residual_fn(pnew)
-            chi2new = jnp.dot(enew, enew)
+            chi2new = reduce_sum(jnp.dot(enew, enew))
             finite = jnp.isfinite(chi2new)
             df = t.chi2 - chi2new
             # Predicted reduction from the quadratic model,

@@ -68,8 +68,8 @@ def test_cal_open_tag_style():
     assert vals["cy"] == "2.5"
 
 
-def test_led_rig_matches_measured_grid():
-    led = led_rig_positions()
+def test_led_rig_grid_variant_matches_reference_assignments():
+    led = led_rig_positions("grid")
     assert led.shape == (16, 3)
     np.testing.assert_allclose(led[:, 0], 303.5)
     # explicit corner assignments from brdfdata.cpp:705-745
@@ -78,6 +78,18 @@ def test_led_rig_matches_measured_grid():
     np.testing.assert_allclose(led[4], [303.5, -157.1, 555.3 + (645.8 - 555.3) / 3])
     np.testing.assert_allclose(led[12], [303.5, -157.1, 645.8])
     np.testing.assert_allclose(led[15], [303.5, -2.3, 645.8])
+
+
+def test_led_rig_default_is_cylinder():
+    led = led_rig_positions()
+    assert led.shape == (16, 3)
+    # ring heights 365/260/150/45 − 115 (brdfdata.cpp:747-795 comments)
+    np.testing.assert_allclose(led[0:4, 1], 250.0)
+    np.testing.assert_allclose(led[12:16, 1], -70.0)
+    # all on the radius-305 cylinder
+    np.testing.assert_allclose(np.hypot(led[:, 0], led[:, 2]), 305.0)
+    # azimuth ordering: x increases with i%4 within a ring
+    assert (np.diff(led[0:4, 0]) > 0).all()
 
 
 def test_image_stack_loading():

@@ -1,0 +1,97 @@
+"""Multi-device semantics on the virtual 8-device CPU mesh: the sharded fit
+(psum'd normal equations over the view axis) must reproduce the single-device
+result — a guarantee the reference never had (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brdf_tpu import LMOptions, MODELS, levmar_bc, shading_angles
+from brdf_tpu.parallel import fit_texels_sharded, make_mesh
+from brdf_tpu.solver.init import linear_grid_init
+
+
+def _scene(t=256, v=16, dtype=jnp.float64, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = jnp.asarray(rng.normal(size=(t, 3)), dtype)
+    n = rng.normal(size=(t, 3))
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    eye = jnp.asarray([0.0, 0.0, 10.0], dtype)
+    lights = jnp.asarray(rng.normal(size=(v, 3)) * 4 + np.array([0, 0, 8.0]), dtype)
+    ang = shading_angles(pts, jnp.asarray(n, dtype), eye, lights)
+    true_p = np.stack(
+        [rng.uniform(0.1, 0.9, t), rng.uniform(0.2, 1.0, t), rng.uniform(2, 30, t)],
+        -1,
+    )
+    target = MODELS["blinn_phong"].fn(jnp.asarray(true_p, dtype), ang)
+    return ang, target, true_p
+
+
+def test_eight_devices_available():
+    assert jax.device_count() == 8
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_fit_matches_single_device(mesh_shape):
+    """With a pinned starting point the sharded solve (psum'd reductions)
+    must match the single-device solve tightly. (With a free start,
+    non-identifiable texels may legitimately land in different equal-χ²
+    optima from last-ulp reduction-order differences, so p0 is fixed here to
+    isolate reduction equivalence.)"""
+    ang, target, true_p = _scene()
+    mesh = make_mesh(data=mesh_shape[0], view=mesh_shape[1])
+    opts = LMOptions(eps1=1e-10, eps2=1e-10, eps3=1e-22, itmax=50)
+    p0 = jnp.asarray(true_p * 1.05)
+
+    res_sharded = fit_texels_sharded(
+        "blinn_phong", ang, target, mesh, opts=opts, p0=p0
+    )
+
+    # single-device reference
+    spec = MODELS["blinn_phong"]
+
+    def residual(p, data):
+        a, y = data
+        return spec.fn(p, a) - y
+
+    res_single = levmar_bc(
+        residual, p0, spec.lower, spec.upper, data=(ang, target), opts=opts
+    )
+
+    assert np.median(np.asarray(res_single.chi2)) < 1e-22
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.p), np.asarray(res_single.p), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_sharded_fit_converges():
+    ang, target, true_p = _scene(t=128)
+    mesh = make_mesh(data=4, view=2)
+    res = fit_texels_sharded("blinn_phong", ang, target, mesh)
+    chi2 = np.asarray(res.chi2)
+    assert np.median(chi2) < 1e-12
+
+
+def test_weights_mask_measurements():
+    """Zero-weighted views must not influence the fit (visibility masking).
+    p0 is pinned near truth so every texel converges locally (see note on the
+    matching test above)."""
+    ang, target, true_p = _scene(t=64, v=16)
+    mesh = make_mesh(data=8, view=1)
+    p0 = jnp.asarray(true_p * 1.05)
+    w = jnp.ones_like(target)
+    # corrupt the last 4 views but mask them out
+    bad_target = target.at[:, 12:].set(99.0)
+    w = w.at[:, 12:].set(0.0)
+    res_masked = fit_texels_sharded(
+        "blinn_phong", ang, bad_target, mesh, weights=w, p0=p0
+    )
+
+    ang_trunc = jax.tree.map(lambda a: a[:, :12], ang)
+    res_trunc = fit_texels_sharded(
+        "blinn_phong", ang_trunc, target[:, :12], make_mesh(data=8, view=1), p0=p0
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_masked.p), np.asarray(res_trunc.p), rtol=1e-6, atol=1e-7
+    )
