@@ -1,0 +1,119 @@
+"""Joint normal + BRDF fitting: per-texel normal offsets fitted together with
+material parameters (BASELINE config 4).
+
+No reference equivalent — the reference's normals are fixed mesh face normals
+(``brdfdata.cpp:314-330``). Here each texel carries a 2-DOF tangent-space
+offset ``(nu, nv)``; the shading normal is ``normalize(N + nu·T + nv·B)``,
+differentiable, so the LM solver fits geometry and material jointly. Channels are
+fit *jointly* (RGB share the normal and roughness), so the parameter vector is
+
+    [kd_r, kd_g, kd_b, ks_r, ks_g, ks_b, shape, nu, nv]      (m = 9)
+
+and the residual stacks 3·V measurements. The box constraints on (nu, nv)
+interact with the implicit unit-norm constraint exactly as flagged in
+SURVEY.md §7 ("Hard parts"): the offset parameterization keeps the normal
+unit-length by construction, so the box only bounds the tilt angle.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from brdf_tpu.models.brdf import (
+    MODELS,
+    ShadingAngles,
+    ShadingGeometry,
+    angles_from_geometry,
+)
+
+
+def tangent_basis(n: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Orthonormal (T, B) frame for unit normals ``n`` (..., 3), branchless
+    (Duff et al. construction)."""
+    sign = jnp.where(n[..., 2] >= 0, 1.0, -1.0)
+    a = -1.0 / (sign + n[..., 2])
+    b = n[..., 0] * n[..., 1] * a
+    t = jnp.stack(
+        [1.0 + sign * n[..., 0] ** 2 * a, sign * b, -sign * n[..., 0]], axis=-1
+    )
+    bt = jnp.stack([b, sign + n[..., 1] ** 2 * a, -n[..., 1]], axis=-1)
+    return t, bt
+
+
+class JointSpec(NamedTuple):
+    base_model: str
+    n_params: int
+    lower: tuple
+    upper: tuple
+
+
+def joint_spec(base_model: str = "cook_torrance", max_tilt: float = 0.6) -> JointSpec:
+    base = MODELS[base_model]
+    if base.n_params != 3:
+        raise ValueError("joint fit supports 3-parameter base lobes")
+    lo = (
+        base.lower[0], base.lower[0], base.lower[0],
+        base.lower[1], base.lower[1], base.lower[1],
+        base.lower[2], -max_tilt, -max_tilt,
+    )
+    hi = (
+        base.upper[0], base.upper[0], base.upper[0],
+        base.upper[1], base.upper[1], base.upper[1],
+        base.upper[2], max_tilt, max_tilt,
+    )
+    return JointSpec(base_model, 9, lo, hi)
+
+
+def perturbed_angles(
+    geom: ShadingGeometry, nu: jnp.ndarray, nv: jnp.ndarray
+) -> ShadingAngles:
+    """Recompute the cosine terms with the tangent-space-perturbed normal.
+    ``nu``/``nv`` broadcast against ``geom.n[..., :-1]`` batch dims."""
+    t, b = tangent_basis(geom.n)
+    n_new = geom.n + nu[..., None] * t + nv[..., None] * b
+    n_new = n_new / jnp.maximum(
+        jnp.linalg.norm(n_new, axis=-1, keepdims=True), 1e-12
+    )
+    return angles_from_geometry(geom._replace(n=n_new))
+
+
+def joint_eval(
+    spec: JointSpec, params: jnp.ndarray, geom: ShadingGeometry
+) -> jnp.ndarray:
+    """Evaluate the joint model: params (..., 9) → intensities (..., V, 3)."""
+    base_fn = MODELS[spec.base_model].fn
+    nu = params[..., 7]
+    nv = params[..., 8]
+    ang = perturbed_angles(geom, nu, nv)
+    outs = []
+    for c in range(3):
+        p_c = jnp.stack(
+            [params[..., c], params[..., 3 + c], params[..., 6]], axis=-1
+        )
+        outs.append(base_fn(p_c, ang))
+    return jnp.stack(outs, axis=-1)   # (..., V, 3)
+
+
+def joint_residual(spec: JointSpec):
+    """Residual closure for the LM solver: data = (geom, target (V,3), w (V,))."""
+
+    def residual(p, data):
+        geom, target, w = data
+        pred = joint_eval(spec, p, geom)
+        return ((pred - target) * w[..., None]).reshape(-1)
+
+    return residual
+
+
+def joint_p0_from_channelwise(
+    channel_params: jnp.ndarray,  # (..., 3, 3): per-channel (kd, ks, shape)
+) -> jnp.ndarray:
+    """Build a joint start from independent per-channel fits: kd/ks carry
+    over, the shape parameter is averaged, the normal offset starts at 0."""
+    kd = channel_params[..., :, 0]
+    ks = channel_params[..., :, 1]
+    shape = jnp.mean(channel_params[..., :, 2], axis=-1, keepdims=True)
+    zeros = jnp.zeros_like(shape)
+    return jnp.concatenate([kd, ks, shape, zeros, zeros], axis=-1)

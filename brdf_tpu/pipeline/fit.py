@@ -24,7 +24,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from brdf_tpu.models.brdf import MODELS, ShadingAngles, shading_angles
+from brdf_tpu.models.brdf import (
+    MODELS,
+    ShadingAngles,
+    angles_from_geometry,
+    shading_angles,
+    shading_geometry,
+)
 from brdf_tpu.parallel.fit import fit_texels_sharded
 from brdf_tpu.parallel.mesh import make_mesh
 from brdf_tpu.pipeline.scene import Scene
@@ -39,9 +45,12 @@ class TexelProblem(NamedTuple):
     intensity: jnp.ndarray
     weights: jnp.ndarray
     face_ids: np.ndarray      # (T,) mesh face backing each texel
+    geometry: object = None   # ShadingGeometry when built with_geometry=True
 
 
-def build_face_problem(scene: Scene, dtype=jnp.float32) -> TexelProblem:
+def build_face_problem(
+    scene: Scene, dtype=jnp.float32, with_geometry: bool = False
+) -> TexelProblem:
     """One texel per *visible* mesh face; per-face intensity = mean over the
     pixels the face covers in each view (z-buffered visibility).
 
@@ -82,13 +91,16 @@ def build_face_problem(scene: Scene, dtype=jnp.float32) -> TexelProblem:
     normals = mesh.face_normals[face_ids]
     eyes = jnp.asarray(scene.eyes(), dtype)
     lights = jnp.asarray(scene.lights, dtype)
-    ang = shading_angles(centroids.astype(dtype), normals.astype(dtype), eyes, lights)
+    geom = shading_geometry(
+        centroids.astype(dtype), normals.astype(dtype), eyes, lights
+    )
 
     return TexelProblem(
-        angles=ang,
+        angles=angles_from_geometry(geom),
         intensity=jnp.asarray(mean_i, dtype),
         weights=jnp.asarray(weights, dtype),
         face_ids=face_ids,
+        geometry=geom if with_geometry else None,
     )
 
 
@@ -154,6 +166,61 @@ def fit_per_texel(
     params = res.p.reshape(t, c, spec.n_params)
     result = jax.tree.map(lambda a: a.reshape(t, c) if a.ndim == 1 else a, res)
     return FitReport(params=params, face_ids=problem.face_ids, result=result, model=model)
+
+
+def fit_joint_normalmap(
+    problem: TexelProblem,
+    base_model: str = "cook_torrance",
+    opts: LMOptions | None = None,
+    channel_report: FitReport | None = None,
+    max_tilt: float = 0.6,
+):
+    """Jointly fit per-texel normals + material (BASELINE config 4): m = 9
+    params (RGB kd, RGB ks, shared shape, tangent normal offset), n = 3·V
+    residuals, box-constrained (lmbc-style bounds on the tilt).
+
+    Needs a problem built ``with_geometry=True``. Starts from independent
+    per-channel fits when supplied (``channel_report``), else from the linear
+    grid initializer per channel.
+    """
+    from brdf_tpu.models.normalmap import (
+        joint_p0_from_channelwise,
+        joint_residual,
+        joint_spec,
+    )
+
+    if problem.geometry is None:
+        raise ValueError("joint fit requires build_face_problem(with_geometry=True)")
+    spec = joint_spec(base_model, max_tilt=max_tilt)
+    t, v, c = problem.intensity.shape
+    if opts is None:
+        opts = LMOptions(eps1=1e-7, eps2=1e-8, eps3=1e-14, itmax=40)
+
+    if channel_report is not None:
+        chan = jnp.asarray(channel_report.params)          # (T, 3, 3)
+    else:
+        cols = []
+        for ch in range(c):
+            cols.append(
+                linear_grid_init(
+                    base_model,
+                    problem.angles,
+                    problem.intensity[..., ch],
+                    weights=problem.weights,
+                )
+            )
+        chan = jnp.stack(cols, axis=1)                      # (T, C, m)
+    p0 = joint_p0_from_channelwise(chan)                    # (T, 9)
+
+    res = levmar_bc(
+        joint_residual(spec),
+        p0,
+        spec.lower,
+        spec.upper,
+        data=(problem.geometry, problem.intensity, problem.weights),
+        opts=opts,
+    )
+    return res, spec
 
 
 def fit_single_material(
