@@ -21,11 +21,20 @@ Measured r1: ≈44M fits/s on one v5e chip ≈ 1040× the levmar baseline.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
+
+# persistent compile cache: the remote TPU compiler costs minutes per miss
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from brdf_tpu.models.brdf import MODELS, ShadingAngles
@@ -78,29 +87,28 @@ def main():
             MODEL, ang, target, p0, opts=opts,
             lower=tuple(spec.lower), upper=tuple(spec.upper),
         )
-        return res.p, res.chi2
-
-    @jax.jit
-    def probe(p, chi2):
-        # tiny readback that forces the whole chain to have executed
-        return jnp.sum(p[:1, :]) + jnp.sum(chi2[:1])
+        # digest: a scalar whose readback forces the whole program — kept
+        # inside THIS program because every distinct program pays a large
+        # one-time first-execution cost on the tunneled runtime
+        digest = jnp.sum(res.p[:1]) + jnp.sum(res.chi2[:1])
+        return res.p, res.chi2, digest
 
     rng = np.random.default_rng(0)
     ang, target, true_p = make_problem(rng, T, V)
 
-    # compile + warm up
-    p_fit, chi2 = fit(ang, target)
-    _ = np.asarray(probe(p_fit, chi2))
+    # compile + first-execution warm-up (both one-time costs)
+    p_fit, chi2, digest = fit(ang, target)
+    _ = np.asarray(digest)
 
     def timed(n: int) -> float:
         # On this backend block_until_ready does not block and full-array
         # readback pays tunnel transfer, so timing uses a chained-N slope
         # with a scalar readback: programs execute in order on the stream,
-        # so reading program N's output bounds all N executions.
+        # so reading program N's digest bounds all N executions.
         t0 = time.perf_counter()
         for _ in range(n):
-            p_f, c2 = fit(ang, target)
-        _ = np.asarray(probe(p_f, c2))
+            p_f, c2, dg = fit(ang, target)
+        _ = np.asarray(dg)
         return time.perf_counter() - t0
 
     timed(1)
@@ -109,7 +117,6 @@ def main():
     secs = (t_many - t_one) / 5
 
     fits_per_sec = T / secs
-    p_fit, chi2 = fit(ang, target)
     chi2_np = np.asarray(chi2)
     rel = np.abs(np.asarray(p_fit) - true_p) / np.maximum(np.abs(true_p), 1e-3)
     quality = {

@@ -1,0 +1,222 @@
+"""Command-line interface.
+
+Replaces the reference's 3-positional-arg ``main`` + GLUT keypress workflow
+(``main.cpp:26-65``; `c` to fit, `m` to preview — SURVEY.md §3) with explicit
+subcommands over the batch pipeline:
+
+    python -m brdf_tpu fit --preset bunny-ct --out runs/bunny
+    python -m brdf_tpu fit --scene /root/reference/img/cup --model blinn_phong --out runs/cup
+    python -m brdf_tpu render --run runs/bunny --view 0
+    python -m brdf_tpu relight --run runs/bunny --light 300,150,300
+    python -m brdf_tpu presets
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _build_scene(cfg):
+    from brdf_tpu.pipeline.scene import load_reference_scene
+    from brdf_tpu.io.rig import led_rig_positions
+
+    scene = load_reference_scene(
+        cfg.scene.scene_dir,
+        cal_name=cfg.scene.cal_name,
+        num_images=cfg.scene.num_images,
+    )
+    scene.lights = led_rig_positions(cfg.scene.rig)[: scene.num_views]
+    if cfg.scene.views is not None:
+        idx = list(cfg.scene.views)
+        scene.cameras = [scene.cameras[i] for i in idx]
+        scene.lights = scene.lights[idx]
+        scene.images = scene.images[idx]
+    return scene
+
+
+def cmd_fit(args) -> int:
+    from brdf_tpu.configs import PRESETS, FitConfig, ModelConfig, SceneConfig, SolverConfig
+    from brdf_tpu.pipeline.fit import (
+        build_face_problem,
+        fit_joint_normalmap,
+        fit_per_texel,
+        fit_single_material,
+    )
+    from brdf_tpu.utils.logging import EventLog, fit_summary_event
+    from brdf_tpu.utils.checkpoint import save_fit_state
+
+    if args.preset:
+        cfg = PRESETS[args.preset]
+    elif args.config:
+        with open(args.config) as fh:
+            cfg = FitConfig.from_json(fh.read())
+    else:
+        if not args.scene:
+            print("need --preset, --config, or --scene", file=sys.stderr)
+            return 2
+        cfg = FitConfig(
+            scene=SceneConfig(scene_dir=args.scene),
+            model=ModelConfig(model=args.model),
+            solver=SolverConfig(),
+        )
+    out = args.out or f"runs/{cfg.name}"
+    os.makedirs(out, exist_ok=True)
+    log = EventLog(os.path.join(out, "events.jsonl"))
+
+    t0 = time.time()
+    scene = _build_scene(cfg)
+    log("scene_loaded", name=scene.name, views=scene.num_views,
+        faces=scene.mesh.num_faces, secs=round(time.time() - t0, 2))
+
+    t0 = time.time()
+    problem = build_face_problem(scene, with_geometry=cfg.model.joint_normalmap)
+    log("problem_built", texels=len(problem.face_ids),
+        secs=round(time.time() - t0, 2))
+
+    t0 = time.time()
+    opts = cfg.solver.lm_options()
+    if not cfg.model.per_texel:
+        params = fit_single_material(problem, cfg.model.model, opts=opts)
+        log("fit_done", mode="single_material", secs=round(time.time() - t0, 2),
+            params=params.tolist())
+        arrays = {"params": params, "face_ids": problem.face_ids}
+    elif cfg.model.joint_normalmap:
+        res, jspec = fit_joint_normalmap(
+            problem, cfg.model.model, opts=opts, max_tilt=cfg.model.max_tilt
+        )
+        log("fit_done", mode="joint_normalmap", secs=round(time.time() - t0, 2))
+        fit_summary_event(res)
+        arrays = {"joint_params": np.asarray(res.p), "face_ids": problem.face_ids,
+                  "chi2": np.asarray(res.chi2)}
+    else:
+        report = fit_per_texel(
+            problem, cfg.model.model, opts=opts,
+            engine=cfg.solver.engine,
+            mask_saturation=cfg.solver.mask_saturation,
+            robust=cfg.solver.robust,
+            robust_iters=cfg.solver.robust_iters,
+        )
+        log("fit_done", mode="per_texel", secs=round(time.time() - t0, 2),
+            converged=report.converged_fraction(), chi2=report.chi2_summary())
+        fit_summary_event(report.result)
+        arrays = {"params": report.params, "face_ids": report.face_ids,
+                  "chi2": np.asarray(report.result.chi2)}
+
+    save_fit_state(out, 0, arrays, metadata={
+        "config": dataclasses.asdict(cfg), "model": cfg.model.model,
+        "mode": ("single" if not cfg.model.per_texel else
+                 "joint" if cfg.model.joint_normalmap else "per_texel"),
+    })
+    with open(os.path.join(out, "config.json"), "w") as fh:
+        fh.write(cfg.to_json())
+    log("saved", out=out)
+    return 0
+
+
+def _load_run(run: str):
+    from brdf_tpu.configs import FitConfig
+    from brdf_tpu.utils.checkpoint import load_fit_state
+
+    arrays, meta = load_fit_state(run)
+    with open(os.path.join(run, "config.json")) as fh:
+        cfg = FitConfig.from_json(fh.read())
+    return arrays, meta, cfg
+
+
+def cmd_render(args) -> int:
+    from PIL import Image
+    from brdf_tpu.pipeline.render import render_image
+
+    arrays, meta, cfg = _load_run(args.run)
+    scene = _build_scene(cfg)
+    lights = None
+    if args.light:
+        lights = np.asarray(
+            [[float(x) for x in spec.split(",")] for spec in args.light]
+        )
+    if meta["mode"] == "per_texel":
+        params, face_ids = arrays["params"], arrays["face_ids"]
+    elif meta["mode"] == "single":
+        t = scene.mesh.num_faces
+        params = np.broadcast_to(arrays["params"][None], (t, 3, 3)).copy()
+        face_ids = np.arange(t)
+    else:
+        jp = arrays["joint_params"]  # (T, 9) — expand to per-channel (T, 3, m)
+        params = np.stack(
+            [np.stack([jp[:, c], jp[:, 3 + c], jp[:, 6]], -1) for c in range(3)], 1
+        )
+        face_ids = arrays["face_ids"]
+
+    img = render_image(
+        cfg.model.model, scene, params, face_ids, view=args.view, lights=lights
+    )
+    out = args.out or os.path.join(args.run, f"render_view{args.view}.png")
+    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(out)
+    print(out)
+    return 0
+
+
+def cmd_presets(args) -> int:
+    from brdf_tpu.configs import PRESETS
+
+    for name, cfg in PRESETS.items():
+        print(f"{name:18s} {cfg.model.model:22s} "
+              f"{'single' if not cfg.model.per_texel else 'per-texel':9s} "
+              f"{cfg.scene.scene_dir}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    print(json.dumps({
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "process_count": jax.process_count(),
+    }, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="brdf_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("fit", help="fit BRDF parameters for a scene")
+    f.add_argument("--preset")
+    f.add_argument("--config")
+    f.add_argument("--scene")
+    f.add_argument("--model", default="blinn_phong")
+    f.add_argument("--out")
+    f.set_defaults(fn=cmd_fit)
+
+    r = sub.add_parser("render", help="render from a fitted run")
+    r.add_argument("--run", required=True)
+    r.add_argument("--view", type=int, default=0)
+    r.add_argument("--light", action="append",
+                   help="x,y,z world position (repeatable); default = the view's LED")
+    r.add_argument("--out")
+    r.set_defaults(fn=cmd_render)
+
+    rl = sub.add_parser("relight", help="alias of render with explicit lights")
+    rl.add_argument("--run", required=True)
+    rl.add_argument("--view", type=int, default=0)
+    rl.add_argument("--light", action="append", required=True)
+    rl.add_argument("--out")
+    rl.set_defaults(fn=cmd_render)
+
+    sub.add_parser("presets", help="list named presets").set_defaults(fn=cmd_presets)
+    sub.add_parser("info", help="backend/devices info").set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,128 @@
+"""Configuration system: dataclass configs + JSON round-trip + named presets.
+
+Replaces the reference's configuration-by-hard-coding (model selector at
+``main.cpp:43``, LM opts/bounds at ``brdfdata.cpp:1049-1057,1107-1117``, LED
+rig at ``brdfdata.cpp:683-797``, window size at ``main.cpp:22-23`` —
+SURVEY.md §5) with explicit, serializable configs. The five presets mirror
+the BASELINE.json benchmark ladder.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+from brdf_tpu.solver.lm import LMOptions
+
+
+@dataclasses.dataclass
+class SceneConfig:
+    scene_dir: str
+    cal_name: str | None = None       # which .cal in multi-camera scenes
+    num_images: int = 16
+    rig: str = "cylinder"             # LED rig variant (io.rig)
+    views: list[int] | None = None    # subset of views to fit (None = all)
+    subtract_dark: bool = True
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    model: str = "blinn_phong"        # registry name (models.brdf.MODELS)
+    per_texel: bool = True            # per-texel vs single-material
+    joint_normalmap: bool = False     # config-4 style joint fit
+    max_tilt: float = 0.6
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    itmax: int = 60
+    eps1: float = 1e-7
+    eps2: float = 1e-8
+    eps3: float = 1e-14
+    tau: float = 1e-3
+    engine: str = "auto"              # auto | pallas | xla
+    robust: str | None = None         # None | huber | cauchy | tukey
+    robust_iters: int = 2
+    mask_saturation: bool = True
+
+    def lm_options(self) -> LMOptions:
+        return LMOptions(
+            tau=self.tau, eps1=self.eps1, eps2=self.eps2, eps3=self.eps3,
+            itmax=self.itmax,
+        )
+
+
+@dataclasses.dataclass
+class ShardingConfig:
+    data: int | None = None           # texel-axis size (None = all devices)
+    view: int = 1                     # measurement-axis size
+
+
+@dataclasses.dataclass
+class FitConfig:
+    scene: SceneConfig
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    sharding: ShardingConfig = dataclasses.field(default_factory=ShardingConfig)
+    checkpoint_dir: str | None = None
+    log_file: str | None = None
+    name: str = "fit"
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "FitConfig":
+        raw = json.loads(text)
+        return cls(
+            scene=SceneConfig(**raw["scene"]),
+            model=ModelConfig(**raw.get("model", {})),
+            solver=SolverConfig(**raw.get("solver", {})),
+            sharding=ShardingConfig(**raw.get("sharding", {})),
+            checkpoint_dir=raw.get("checkpoint_dir"),
+            log_file=raw.get("log_file"),
+            name=raw.get("name", "fit"),
+        )
+
+
+_REF = "/root/reference/img"
+
+# The BASELINE.json benchmark ladder as named presets.
+PRESETS: dict[str, FitConfig] = {
+    # (1) single-material Blinn-Phong, cup, 1 view — CPU-runnable reference
+    "cup-single": FitConfig(
+        name="cup-single",
+        scene=SceneConfig(scene_dir=f"{_REF}/cup", views=[0]),
+        model=ModelConfig(model="blinn_phong", per_texel=False),
+        solver=SolverConfig(itmax=300, engine="xla"),
+    ),
+    # (2) per-texel Blinn-Phong, timber, 4 views
+    "timber-blinn": FitConfig(
+        name="timber-blinn",
+        scene=SceneConfig(scene_dir=f"{_REF}/timber", views=[0, 5, 10, 15]),
+        model=ModelConfig(model="blinn_phong"),
+        solver=SolverConfig(robust="huber"),
+    ),
+    # (3) per-texel Cook-Torrance, bunny, all views
+    "bunny-ct": FitConfig(
+        name="bunny-ct",
+        scene=SceneConfig(scene_dir=f"{_REF}/bunny"),
+        model=ModelConfig(model="cook_torrance"),
+        solver=SolverConfig(robust="huber"),
+    ),
+    # (4) joint normal-map + Cook-Torrance with bounded LM, bunny
+    "bunny-joint": FitConfig(
+        name="bunny-joint",
+        scene=SceneConfig(scene_dir=f"{_REF}/bunny"),
+        model=ModelConfig(model="cook_torrance", joint_normalmap=True),
+        solver=SolverConfig(itmax=40, engine="xla"),
+    ),
+    # (5) complexScene multi-object rig + relight render
+    "complex-relight": FitConfig(
+        name="complex-relight",
+        scene=SceneConfig(scene_dir=f"{_REF}/complexScene", cal_name="ipod.cal"),
+        model=ModelConfig(model="cook_torrance"),
+        solver=SolverConfig(robust="tukey"),
+    ),
+}

@@ -34,8 +34,14 @@ class RasterMap(NamedTuple):
         return self.face_id >= 0
 
 
-def rasterize_mesh(camera: Camera, vertices: np.ndarray, faces: np.ndarray) -> RasterMap:
-    """Rasterize a triangle mesh into the camera's pixel grid."""
+def rasterize_mesh(
+    camera: Camera, vertices: np.ndarray, faces: np.ndarray, native: bool = True
+) -> RasterMap:
+    """Rasterize a triangle mesh into the camera's pixel grid.
+
+    Uses the C++ core (``csrc/rasterizer.cpp``, built on demand) when
+    available; the NumPy path below is the reference implementation and
+    fallback — both produce identical maps (tested)."""
     h, w = camera.height, camera.width
     verts = np.asarray(vertices, np.float64)
     faces = np.asarray(faces, np.int64)
@@ -47,6 +53,27 @@ def rasterize_mesh(camera: Camera, vertices: np.ndarray, faces: np.ndarray) -> R
     face_id = np.full((h, w), -1, np.int32)
     depth = np.full((h, w), np.inf, np.float32)
     bary_out = np.zeros((h, w, 3), np.float32)
+
+    if native:
+        from brdf_tpu import native as native_mod
+
+        fn = native_mod.rasterizer_lib()
+        if fn is not None:
+            import ctypes
+
+            uv_c = np.ascontiguousarray(uv, np.float64)
+            z_c = np.ascontiguousarray(z, np.float64)
+            f_c = np.ascontiguousarray(faces, np.int32)
+            fn(
+                uv_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                z_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                f_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(f_c), w, h,
+                face_id.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                bary_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            return RasterMap(face_id=face_id, bary=bary_out, depth=depth)
 
     tri_uv = uv[faces]       # (F, 3, 2)
     tri_z = z[faces]         # (F, 3)

@@ -15,6 +15,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -34,6 +35,7 @@ def fit_texels_sharded(
     weights: jnp.ndarray | None = None,
     lower=None,
     upper=None,
+    engine: str = "auto",
 ) -> LMResult:
     """Fit per-texel BRDF parameters over a ``(data, view)`` device mesh.
 
@@ -46,6 +48,10 @@ def fit_texels_sharded(
       p0: optional (T, m) start; default = linear grid init (computed under
         jit with sharded inputs, so XLA partitions it across the mesh too).
       weights: optional (T, V) residual weights (0 masks a measurement).
+      engine: "xla" (lax while_loop solver — any model, views shardable),
+        "pallas" (fused VMEM kernel — 3-param lobes, view axis must be
+        unsharded since the kernel reduces its views locally), or "auto"
+        (pallas on TPU when eligible).
 
     Returns:
       A per-texel :class:`LMResult`, sharded over ``data``.
@@ -76,6 +82,18 @@ def fit_texels_sharded(
     else:
         p0 = jax.device_put(p0, t_sharding)
 
+    if engine == "auto":
+        from brdf_tpu.ops.lm_pallas import PALLAS_MODELS
+
+        pallas_ok = (
+            jax.default_backend() == "tpu"
+            and model in PALLAS_MODELS
+            and mesh.shape[VIEW_AXIS] == 1
+        )
+        engine = "pallas" if pallas_ok else "xla"
+    if engine == "pallas" and mesh.shape[VIEW_AXIS] != 1:
+        raise ValueError("pallas engine requires the view axis unsharded")
+
     opts_sharded = opts._replace(axis_name=VIEW_AXIS)
 
     def residual(p, data):
@@ -93,6 +111,22 @@ def fit_texels_sharded(
         check_vma=False,
     )
     def fit_block(p0_blk, angles_blk, target_blk, weights_blk):
+        if engine == "pallas":
+            from brdf_tpu.ops.lm_pallas import lm_fit_pallas
+
+            r = lm_fit_pallas(
+                model, angles_blk, target_blk, p0_blk, weights=weights_blk,
+                opts=opts._replace(axis_name=None),
+                lower=tuple(float(x) for x in np.asarray(lower)),
+                upper=tuple(float(x) for x in np.asarray(upper)),
+            )
+            z = jnp.zeros_like(r.chi2)
+            return LMResult(
+                p=r.p, chi2=r.chi2, chi2_init=z, g_inf=r.g_inf,
+                iters=r.iters.astype(jnp.int32), stop=r.stop,
+                nfev=(2.0 * r.iters + 1).astype(jnp.int32),
+                njev=r.iters.astype(jnp.int32),
+            )
         return levmar_bc(
             residual,
             p0_blk,

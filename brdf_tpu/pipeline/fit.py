@@ -132,11 +132,23 @@ def fit_per_texel(
     model: str = "blinn_phong",
     opts: LMOptions | None = None,
     mesh=None,
+    engine: str = "auto",
+    mask_saturation: bool = True,
+    robust: str | None = None,
+    robust_iters: int = 2,
 ) -> FitReport:
     """Fit every (texel, channel) independently — 3·T problems, batched.
 
     Channels fold into the texel batch (the reference looped them serially,
-    ``brdfdata.cpp:1205-1216``)."""
+    ``brdfdata.cpp:1205-1216``).
+
+    ``mask_saturation`` zero-weights clipped measurements; ``robust`` enables
+    IRLS rounds ("huber"/"cauchy"/"tukey") that downweight outlier views
+    (shadows, interreflections) and refit warm-started — capabilities the
+    reference's raw least squares had no answer to.
+    """
+    from brdf_tpu.solver.robust import robust_weights, saturation_weights
+
     spec = MODELS[model]
     t, v, c = problem.intensity.shape
     if opts is None:
@@ -150,6 +162,8 @@ def fit_per_texel(
     )
     target = problem.intensity.transpose(0, 2, 1).reshape(t * c, v)
     w_rep = jnp.repeat(problem.weights, c, axis=0)
+    if mask_saturation:
+        w_rep = w_rep * saturation_weights(target)
 
     # pad the batch to the data-axis size
     data_size = mesh.shape["data"]
@@ -161,7 +175,18 @@ def fit_per_texel(
         target = jnp.concatenate([target, jnp.zeros((pad, v), target.dtype)])
         w_rep = jnp.concatenate([w_rep, jnp.zeros((pad, v), w_rep.dtype)])
 
-    res = fit_texels_sharded(model, ang_rep, target, mesh, opts=opts, weights=w_rep)
+    res = fit_texels_sharded(
+        model, ang_rep, target, mesh, opts=opts, weights=w_rep, engine=engine
+    )
+    if robust is not None:
+        for _ in range(robust_iters):
+            pred = spec.fn(res.p, ang_rep)
+            w_irls = robust_weights(pred - target, w_rep, kind=robust)
+            res = fit_texels_sharded(
+                model, ang_rep, target, mesh, opts=opts, weights=w_irls,
+                p0=res.p, engine=engine,
+            )
+
     res = jax.tree.map(lambda a: np.asarray(a)[: t * c], res)
     params = res.p.reshape(t, c, spec.n_params)
     result = jax.tree.map(lambda a: a.reshape(t, c) if a.ndim == 1 else a, res)

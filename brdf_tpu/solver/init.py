@@ -16,6 +16,7 @@ start LM from the best — a fully vectorized, TPU-friendly initializer (a
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -96,14 +97,13 @@ def linear_grid_init(
     if weights is None:
         weights = jnp.ones_like(target)
 
-    best_cost = jnp.full(target.shape[:-1], jnp.inf, dtype)
-    best_p = jnp.zeros(target.shape[:-1] + (spec.n_params,), dtype)
-
     ty = target * weights
-    for gi in range(g_count):
-        shape_vals = shape_grid[gi]
-        unit_kd = jnp.asarray([1.0, 0.0, *shape_vals], dtype)
-        unit_ks = jnp.asarray([0.0, 1.0, *shape_vals], dtype)
+    grid = jnp.asarray(shape_grid, dtype)         # (G, k)
+
+    def score(shape_vals):
+        """One grid point → (params (..., m), cost (...))."""
+        unit_kd = jnp.concatenate([jnp.asarray([1.0, 0.0], dtype), shape_vals])
+        unit_ks = jnp.concatenate([jnp.asarray([0.0, 1.0], dtype), shape_vals])
         a = spec.fn(unit_kd, angles)              # diffuse basis  (..., V)
         b = spec.fn(unit_ks, angles)              # specular basis (..., V)
         aw = a * weights
@@ -115,19 +115,32 @@ def linear_grid_init(
         by = jnp.sum(b * ty, axis=-1)
         kd, ks = _nnls2(aa, ab, bb, ay, by)
         cost = kd * kd * aa + ks * ks * bb + 2 * kd * ks * ab - 2 * (kd * ay + ks * by)
-        better = cost < best_cost
-        best_cost = jnp.where(better, cost, best_cost)
         p_gi = jnp.concatenate(
             [
                 kd[..., None],
                 ks[..., None],
-                jnp.broadcast_to(
-                    jnp.asarray(shape_vals, dtype), kd.shape + (k,)
-                ),
+                jnp.broadcast_to(shape_vals, kd.shape + (k,)),
             ],
             axis=-1,
         )
-        best_p = jnp.where(better[..., None], p_gi, best_p)
+        return p_gi, cost
+
+    def step(carry, shape_vals):
+        best_p, best_cost = carry
+        p_gi, cost = score(shape_vals)
+        better = cost < best_cost
+        return (
+            jnp.where(better[..., None], p_gi, best_p),
+            jnp.where(better, cost, best_cost),
+        ), None
+
+    init = (
+        jnp.zeros(target.shape[:-1] + (spec.n_params,), dtype),
+        jnp.full(target.shape[:-1], jnp.inf, dtype),
+    )
+    # lax.scan keeps the compiled graph one-grid-point big (16 unrolled model
+    # evaluations were a compile-time hot spot on the remote TPU compiler)
+    (best_p, _), _ = jax.lax.scan(step, init, grid)
 
     # keep the start strictly inside the solver's default box
     lo = jnp.asarray(spec.lower, dtype)

@@ -1,0 +1,100 @@
+"""Aux subsystems: checkpoint round-trip, logging, configs, CLI plumbing."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from brdf_tpu.configs import PRESETS, FitConfig, SceneConfig
+from brdf_tpu.utils.checkpoint import FitCheckpointer, load_fit_state, save_fit_state
+from brdf_tpu.utils.logging import EventLog, log_event
+from brdf_tpu.utils.profiling import rays_per_sec
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    arrays = {"params": np.random.rand(100, 3, 3).astype(np.float32),
+              "face_ids": np.arange(100)}
+    save_fit_state(str(tmp_path), 7, arrays, metadata={"model": "blinn_phong"})
+    loaded, meta = load_fit_state(str(tmp_path))
+    np.testing.assert_array_equal(loaded["params"], arrays["params"])
+    np.testing.assert_array_equal(loaded["face_ids"], arrays["face_ids"])
+    assert meta["model"] == "blinn_phong"
+
+
+def test_checkpointer_retention(tmp_path):
+    ck = FitCheckpointer(str(tmp_path), every=1, keep=2)
+    for step in range(5):
+        ck.maybe_save(step, {"x": np.full(4, step)})
+    steps = sorted(os.listdir(tmp_path))
+    assert steps == ["step_00000003", "step_00000004"]
+    arrays, _ = ck.restore()
+    np.testing.assert_array_equal(arrays["x"], np.full(4, 4))
+
+
+def test_event_log(tmp_path):
+    path = str(tmp_path / "events.jsonl")
+    log = EventLog(path)
+    log("test_event", value=42)
+    log.close()
+    with open(path) as fh:
+        events = [json.loads(l) for l in fh]
+    assert events[0]["kind"] == "test_event" and events[0]["value"] == 42
+
+
+def test_config_json_roundtrip():
+    cfg = PRESETS["bunny-ct"]
+    text = cfg.to_json()
+    back = FitConfig.from_json(text)
+    assert back.model.model == "cook_torrance"
+    assert back.scene.scene_dir == cfg.scene.scene_dir
+    assert back.solver.robust == "huber"
+
+
+def test_rays_per_sec():
+    assert rays_per_sec(1000, 16, 2.0, passes=2) == 16000.0
+
+
+def test_cli_presets_and_info():
+    env = dict(os.environ, JAX_PLATFORMS="")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from brdf_tpu.cli import main; main(['presets'])"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "bunny-ct" in out.stdout
+    assert "cup-single" in out.stdout
+
+
+def test_cli_fit_and_render_smoke(tmp_path):
+    """End-to-end CLI on the cup dataset with 2 views (small but real)."""
+    script = f"""
+import jax
+jax.config.update('jax_platforms','cpu')
+import json
+from brdf_tpu.cli import main
+from brdf_tpu.configs import FitConfig, SceneConfig, ModelConfig, SolverConfig
+cfg = FitConfig(
+    scene=SceneConfig(scene_dir='/root/reference/img/cup', views=[0, 8]),
+    model=ModelConfig(model='blinn_phong'),
+    solver=SolverConfig(itmax=8, engine='xla'),
+    name='smoke',
+)
+open('{tmp_path}/cfg.json','w').write(cfg.to_json())
+rc = main(['fit', '--config', '{tmp_path}/cfg.json', '--out', '{tmp_path}/run'])
+assert rc == 0
+rc = main(['render', '--run', '{tmp_path}/run', '--view', '0'])
+assert rc == 0
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert os.path.exists(tmp_path / "run" / "render_view0.png")
+    events = [json.loads(l) for l in open(tmp_path / "run" / "events.jsonl")]
+    kinds = [e["kind"] for e in events]
+    assert "fit_done" in kinds and "saved" in kinds
