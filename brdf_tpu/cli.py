@@ -76,9 +76,19 @@ def cmd_fit(args) -> int:
         faces=scene.mesh.num_faces, secs=round(time.time() - t0, 2))
 
     t0 = time.time()
-    problem = build_face_problem(scene, with_geometry=cfg.model.joint_normalmap)
+    if cfg.model.granularity == "pixel":
+        from brdf_tpu.pipeline.fit import build_pixel_problem
+
+        problem = build_pixel_problem(
+            scene,
+            reference_view=cfg.model.reference_view,
+            stride=cfg.model.pixel_stride,
+            with_geometry=cfg.model.joint_normalmap,
+        )
+    else:
+        problem = build_face_problem(scene, with_geometry=cfg.model.joint_normalmap)
     log("problem_built", texels=len(problem.face_ids),
-        secs=round(time.time() - t0, 2))
+        granularity=cfg.model.granularity, secs=round(time.time() - t0, 2))
 
     t0 = time.time()
     opts = cfg.solver.lm_options()
@@ -108,6 +118,10 @@ def cmd_fit(args) -> int:
         fit_summary_event(report.result)
         arrays = {"params": report.params, "face_ids": report.face_ids,
                   "chi2": np.asarray(report.result.chi2)}
+        if problem.pixels is not None:
+            arrays["pixels"] = problem.pixels
+            arrays["points"] = problem.points
+            arrays["normals"] = problem.normals
 
     save_fit_state(out, 0, arrays, metadata={
         "config": dataclasses.asdict(cfg), "model": cfg.model.model,
@@ -141,6 +155,18 @@ def cmd_render(args) -> int:
         lights = np.asarray(
             [[float(x) for x in spec.split(",")] for spec in args.light]
         )
+    if meta["mode"] == "per_texel" and "pixels" in arrays:
+        from brdf_tpu.pipeline.render import render_pixel_fit
+
+        img = render_pixel_fit(
+            cfg.model.model, scene, arrays["params"], arrays["pixels"],
+            arrays["points"], arrays["normals"],
+            view=args.view, lights=lights,
+        )
+        out = args.out or os.path.join(args.run, f"render_view{args.view}.png")
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(out)
+        print(out)
+        return 0
     if meta["mode"] == "per_texel":
         params, face_ids = arrays["params"], arrays["face_ids"]
     elif meta["mode"] == "single":

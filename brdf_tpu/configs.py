@@ -32,6 +32,9 @@ class ModelConfig:
     per_texel: bool = True            # per-texel vs single-material
     joint_normalmap: bool = False     # config-4 style joint fit
     max_tilt: float = 0.6
+    granularity: str = "face"         # face | pixel (reference fit per pixel)
+    pixel_stride: int = 1             # subsampling for pixel granularity
+    reference_view: int = 0           # raster view for pixel texelization
 
 
 @dataclasses.dataclass

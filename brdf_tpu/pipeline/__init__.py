@@ -2,6 +2,8 @@ from brdf_tpu.pipeline.scene import Scene, load_reference_scene  # noqa: F401
 from brdf_tpu.pipeline.fit import (  # noqa: F401
     FitReport,
     build_face_problem,
+    build_pixel_problem,
+    fit_joint_normalmap,
     fit_per_texel,
     fit_single_material,
 )

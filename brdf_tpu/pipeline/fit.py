@@ -46,6 +46,9 @@ class TexelProblem(NamedTuple):
     weights: jnp.ndarray
     face_ids: np.ndarray      # (T,) mesh face backing each texel
     geometry: object = None   # ShadingGeometry when built with_geometry=True
+    pixels: np.ndarray | None = None   # (T, 2) for pixel-granularity texels
+    points: np.ndarray | None = None   # (T, 3) texel surface positions
+    normals: np.ndarray | None = None  # (T, 3) texel shading normals
 
 
 def build_face_problem(
@@ -101,6 +104,44 @@ def build_face_problem(
         weights=jnp.asarray(weights, dtype),
         face_ids=face_ids,
         geometry=geom if with_geometry else None,
+    )
+
+
+def build_pixel_problem(
+    scene: Scene,
+    reference_view: int = 0,
+    stride: int = 1,
+    smooth_normals: bool = True,
+    dtype=jnp.float32,
+    with_geometry: bool = False,
+) -> TexelProblem:
+    """One texel per covered *pixel* of a reference view — the reference's
+    actual fit granularity (``brdfdata.cpp:1195-1221``), but with hit-point
+    interpolated positions/normals and reprojection sampling with z-buffer
+    visibility per view (multi-camera capable)."""
+    from brdf_tpu.geometry.texel import pixel_texels, sample_views
+
+    tex = pixel_texels(
+        scene.mesh, scene.raster_map(reference_view), stride=stride,
+        smooth_normals=smooth_normals,
+    )
+    intensity, weights = sample_views(tex, scene)
+
+    eyes = jnp.asarray(scene.eyes(), dtype)
+    lights = jnp.asarray(scene.lights, dtype)
+    geom = shading_geometry(
+        jnp.asarray(tex.points, dtype), jnp.asarray(tex.normals, dtype),
+        eyes, lights,
+    )
+    return TexelProblem(
+        angles=angles_from_geometry(geom),
+        intensity=jnp.asarray(intensity, dtype),
+        weights=jnp.asarray(weights, dtype),
+        face_ids=tex.face_ids,
+        geometry=geom if with_geometry else None,
+        pixels=tex.pixels,
+        points=tex.points,
+        normals=tex.normals,
     )
 
 

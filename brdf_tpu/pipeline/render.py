@@ -92,6 +92,35 @@ def render_image(
     return img
 
 
+def render_pixel_fit(
+    model: str,
+    scene: Scene,
+    params: np.ndarray,          # (T, C, m) per-pixel-texel parameters
+    pixels: np.ndarray,          # (T, 2) [x, y] reference-view pixels
+    points: np.ndarray,          # (T, 3)
+    normals: np.ndarray,         # (T, 3)
+    view: int = 0,
+    lights: np.ndarray | None = None,
+    background: float = 0.0,
+) -> np.ndarray:
+    """Render a pixel-granularity fit: each texel shades its own pixel of the
+    reference view (use :func:`render_image` for face-granularity maps)."""
+    cam = scene.cameras[view]
+    if lights is None:
+        lights = scene.lights[view : view + 1]
+    shaded = render_pixels(
+        model,
+        jnp.asarray(params),
+        jnp.asarray(points, jnp.float32),
+        jnp.asarray(normals, jnp.float32),
+        cam.position,
+        jnp.asarray(lights, jnp.float32),
+    )
+    img = np.full((cam.height, cam.width, params.shape[1]), background, np.float32)
+    img[pixels[:, 1], pixels[:, 0]] = np.asarray(shaded)
+    return img
+
+
 def relight(
     model: str,
     scene: Scene,
