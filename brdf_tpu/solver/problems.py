@@ -95,6 +95,58 @@ def _exponential_fit(p, data):
     return p[0] * jnp.exp(-p[1] * t) + p[2] - y
 
 
+def _modified_rosenbrock(p, data=None):
+    """Modified Rosenbrock (MGH): extra constant residual."""
+    return jnp.stack(
+        [10.0 * (p[1] - p[0] ** 2), 1.0 - p[0], jnp.full((), 100.0, p.dtype)]
+    )
+
+
+def _freudenstein_roth(p, data=None):
+    return jnp.stack(
+        [
+            -13.0 + p[0] + ((5.0 - p[1]) * p[1] - 2.0) * p[1],
+            -29.0 + p[0] + ((p[1] + 1.0) * p[1] - 14.0) * p[1],
+        ]
+    )
+
+
+def _beale(p, data=None):
+    return jnp.stack(
+        [
+            1.5 - p[0] * (1.0 - p[1]),
+            2.25 - p[0] * (1.0 - p[1] ** 2),
+            2.625 - p[0] * (1.0 - p[1] ** 3),
+        ]
+    )
+
+
+def _hs01(p, data=None):
+    """Hock-Schittkowski 01: Rosenbrock with p1 ≥ −1.5."""
+    return jnp.stack([10.0 * (p[1] - p[0] ** 2), 1.0 - p[0]])
+
+
+def _hs21(p, data=None):
+    """Hock-Schittkowski 21 objective as residuals: f = p0²/100 + p1² − 100;
+    box 2 ≤ p0 ≤ 50, −50 ≤ p1 ≤ 50 → minimum at (2, 0)."""
+    return jnp.stack([p[0] / 10.0, p[1]])
+
+
+def _hatfldb(p, data=None):
+    """HATFLDB: r0 = p0 − 1, r_i = p_{i-1} − √p_i; box p ≥ 0, p1 ≤ 0.8."""
+    safe = jnp.maximum(p, 0.0)
+    return jnp.stack(
+        [
+            p[0] - 1.0,
+            p[0] - jnp.sqrt(jnp.maximum(safe[1], 1e-30)),
+            p[1] - jnp.sqrt(jnp.maximum(safe[2], 1e-30)),
+            p[2] - jnp.sqrt(jnp.maximum(safe[3], 1e-30)),
+        ]
+    )
+
+
+
+
 def make_expfit_data(dtype=np.float64):
     """Noise-free expfit data from known params (5.0, 0.1, 1.0) — the
     self-validating synthetic round trip of ``levmar/expfit.c:1-60``."""
@@ -127,5 +179,24 @@ PROBLEMS: list[Problem] = [
     Problem(
         "expfit", _exponential_fit, (1.0, 0.0, 0.0), (5.0, 0.1, 1.0),
         data=make_expfit_data(),
+    ),
+    Problem(
+        "modified_rosenbrock", _modified_rosenbrock, (-1.2, 1.0), (1.0, 1.0),
+    ),
+    Problem("freudenstein_roth", _freudenstein_roth, (6.0, 3.0), (5.0, 4.0)),
+    Problem("beale", _beale, (1.0, 1.0), (3.0, 0.5), tol=1e-4),
+    Problem(
+        "hs01_box", _hs01, (-2.0, 1.0), (1.0, 1.0),
+        lower=(float("-inf"), -1.5), upper=(float("inf"), float("inf")),
+    ),
+    Problem(
+        "hs21_box", _hs21, (-1.0, -1.0), (2.0, 0.0),
+        lower=(2.0, -50.0), upper=(50.0, 50.0),
+    ),
+    Problem(
+        "hatfldb", _hatfldb, (0.1, 0.1, 0.1, 0.1),
+        (0.947214, 0.8, 0.64, 0.4096),
+        lower=(0.0, 0.0, 0.0, 0.0), upper=(100.0, 0.8, 100.0, 100.0),
+        tol=1e-4,
     ),
 ]
