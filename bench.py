@@ -135,8 +135,64 @@ def main():
         "views": V,
         "secs_per_batch": round(secs, 4),
         **quality,
+        **_shading_mrays(),
     }
     print(json.dumps(out))
+
+
+def _shading_mrays():
+    """Secondary metric: Cook-Torrance shading Mrays/s forward+backward
+    (one ray = one (texel, view) evaluation; the BASELINE north-star unit).
+    Gated by BENCH_SHADING=0 to keep the primary bench minimal."""
+    import os
+
+    if os.environ.get("BENCH_SHADING", "1") == "0":
+        return {}
+    spec = MODELS["cook_torrance"]
+    t2, v2 = 262144, 16
+    rng = np.random.default_rng(1)
+    ang = ShadingAngles(
+        cos_ln=jnp.asarray(rng.uniform(0, 1, (t2, v2)), jnp.float32),
+        cos_nh=jnp.asarray(rng.uniform(0, 1, (t2, v2)), jnp.float32),
+        cos_rv=jnp.asarray(rng.uniform(-1, 1, (t2, v2)), jnp.float32),
+        cos_vn=jnp.asarray(rng.uniform(0.1, 1, (t2, v2)), jnp.float32),
+    )
+    params = jnp.asarray(
+        np.stack(
+            [rng.uniform(0.1, 0.9, t2), rng.uniform(0.2, 1, t2), rng.uniform(0.1, 0.9, t2)],
+            -1,
+        ),
+        jnp.float32,
+    )
+    target = jnp.asarray(rng.uniform(0, 1, (t2, v2)), jnp.float32)
+
+    @jax.jit
+    def shade_fwd_bwd(p, ang, y):
+        def loss(pp):
+            return 0.5 * jnp.sum((spec.fn(pp, ang) - y) ** 2)
+
+        val, grad = jax.value_and_grad(loss)(p)
+        return val, grad, val + jnp.sum(grad[:1])
+
+    _, _, dg = shade_fwd_bwd(params, ang, target)
+    _ = np.asarray(dg)   # compile + first-exec
+
+    def timed(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            _, _, dg = shade_fwd_bwd(params, ang, target)
+        _ = np.asarray(dg)
+        return time.perf_counter() - t0
+
+    timed(1)
+    t1 = min(timed(1) for _ in range(3))
+    t6 = min(timed(6) for _ in range(3))
+    per = (t6 - t1) / 5
+    mrays = t2 * v2 * 2 / per / 1e6   # fwd+bwd
+    return {
+        "shading_mrays_per_sec_fwd_bwd": round(mrays, 1),
+        "shading_batch": [t2, v2],
+    }
 
 
 if __name__ == "__main__":

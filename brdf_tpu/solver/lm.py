@@ -347,6 +347,7 @@ def levmar_bc(
     opts: LMOptions = LMOptions(),
     jac_fn: Callable[..., jnp.ndarray] | None = None,
     data_axes: Any = 0,
+    jac_mode: str = "auto",
 ) -> LMResult:
     """Box-constrained LM (replaces ``dlevmar_bc_der``/``dlevmar_bc_dif``,
     ``levmar/levmar.h:126-146``).
@@ -363,14 +364,25 @@ def levmar_bc(
       jac_fn: optional analytic Jacobian ``(p, data) -> (n, m)``; defaults to
         forward-mode autodiff.
       data_axes: vmap axes for ``data`` (``None`` to broadcast shared data).
+      jac_mode: "auto" (forward-mode AD), "fd" (forward differences — the
+        ``*_dif`` behavior, ``misc_core.c:137-172``), or "fd_central".
+        Ignored when ``jac_fn`` is given. AD is exact and the default; FD
+        exists for parity/validation against non-differentiable residuals.
     """
     batched = p0.ndim == 2
 
-    if jac_fn is None:
+    if jac_fn is not None:
+        jac_of = jac_fn
+    elif jac_mode == "auto":
         def jac_of(p, d):
             return jax.jacfwd(lambda q: residual_fn(q, d))(p)
+    elif jac_mode in ("fd", "fd_central"):
+        def jac_of(p, d):
+            return fd_jacobian(
+                residual_fn, p, d, central=(jac_mode == "fd_central")
+            )
     else:
-        jac_of = jac_fn
+        raise ValueError(f"unknown jac_mode {jac_mode!r}")
 
     lower_b, upper_b = _prep_bounds(p0, lower, upper)
 
