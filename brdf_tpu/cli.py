@@ -211,6 +211,18 @@ def cmd_info(args) -> int:
 
 
 def main(argv=None) -> int:
+    # persistent compile cache (remote TPU compiles cost minutes per miss)
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     p = argparse.ArgumentParser(prog="brdf_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

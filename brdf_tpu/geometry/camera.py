@@ -143,6 +143,33 @@ class Camera(NamedTuple):
         )
 
 
+def project_np(camera: Camera, points: np.ndarray):
+    """NumPy mirror of :meth:`Camera.project` for host-side precompute
+    (rasterization, view sampling): on tunneled TPU backends every eager jnp
+    op is a device roundtrip, so the preprocessing path must never touch the
+    device. Kept in lockstep with the jnp version (tested)."""
+    rot = np.asarray(camera.rotation, np.float64)
+    pos = np.asarray(camera.position, np.float64)
+    f = float(camera.f)
+    cx, cy = float(camera.cx), float(camera.cy)
+    sx = float(camera.sx)
+    kappa1 = float(camera.kappa1)
+
+    pc = (np.asarray(points, np.float64) - pos) @ rot.T
+    z = pc[..., 2]
+    inv_z = 1.0 / np.where(np.abs(z) > 1e-9, z, 1e-9)
+    xu = f * pc[..., 0] * inv_z
+    yu = f * pc[..., 1] * inv_z
+    xd, yd = xu, yu
+    for _ in range(3):
+        r2 = xd * xd + yd * yd
+        s = 1.0 + kappa1 * r2
+        xd, yd = xu / s, yu / s
+    u = cx + sx * xd
+    v = cy + yd
+    return np.stack([u, v], axis=-1), z
+
+
 def _distort(xu: jnp.ndarray, yu: jnp.ndarray, kappa1) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Invert ``Xu = Xd (1 + kappa1 r²)`` for ``Xd`` by fixed-point iteration.
 

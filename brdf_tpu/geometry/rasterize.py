@@ -42,13 +42,13 @@ def rasterize_mesh(
     Uses the C++ core (``csrc/rasterizer.cpp``, built on demand) when
     available; the NumPy path below is the reference implementation and
     fallback — both produce identical maps (tested)."""
+    from brdf_tpu.geometry.camera import project_np
+
     h, w = camera.height, camera.width
     verts = np.asarray(vertices, np.float64)
     faces = np.asarray(faces, np.int64)
 
-    uv, z = camera.project(verts)
-    uv = np.asarray(uv, np.float64)
-    z = np.asarray(z, np.float64)
+    uv, z = project_np(camera, verts)   # host-side: no device roundtrips
 
     face_id = np.full((h, w), -1, np.int32)
     depth = np.full((h, w), np.inf, np.float32)

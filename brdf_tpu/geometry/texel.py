@@ -101,11 +101,11 @@ def sample_views(
     intensity = np.zeros((t, v_count, 3), np.float32)
     weights = np.zeros((t, v_count), np.float32)
 
+    from brdf_tpu.geometry.camera import project_np
+
     for vi in range(v_count):
         cam = scene.cameras[vi]
-        uv, z = cam.project(tex.points.astype(np.float32))
-        uv = np.asarray(uv, np.float64)
-        z = np.asarray(z, np.float64)
+        uv, z = project_np(cam, tex.points)   # host-side: no device roundtrips
         u, vv = uv[:, 0], uv[:, 1]
         inside = (
             (z > 1e-6)
