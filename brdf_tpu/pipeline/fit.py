@@ -38,6 +38,11 @@ from brdf_tpu.solver.init import linear_grid_init
 from brdf_tpu.solver.lm import LMOptions, LMResult, levmar_bc
 
 
+# One compiled program instead of a chain of eager device ops (tunneled TPU
+# backends pay a roundtrip per eager op)
+_shading_geometry_jit = jax.jit(shading_geometry)
+
+
 class TexelProblem(NamedTuple):
     """Per-texel fit inputs: angles (T, V), intensities (T, V, C), weights (T, V)."""
 
@@ -94,7 +99,7 @@ def build_face_problem(
     normals = mesh.face_normals[face_ids]
     eyes = jnp.asarray(scene.eyes(), dtype)
     lights = jnp.asarray(scene.lights, dtype)
-    geom = shading_geometry(
+    geom = _shading_geometry_jit(
         centroids.astype(dtype), normals.astype(dtype), eyes, lights
     )
 
@@ -129,7 +134,7 @@ def build_pixel_problem(
 
     eyes = jnp.asarray(scene.eyes(), dtype)
     lights = jnp.asarray(scene.lights, dtype)
-    geom = shading_geometry(
+    geom = _shading_geometry_jit(
         jnp.asarray(tex.points, dtype), jnp.asarray(tex.normals, dtype),
         eyes, lights,
     )

@@ -19,6 +19,10 @@ from brdf_tpu.models.brdf import MODELS, shading_angles
 from brdf_tpu.pipeline.scene import Scene
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
 def render_pixels(
     model: str,
     params: jnp.ndarray,    # (N, C, m) per-pixel per-channel parameters

@@ -133,3 +133,31 @@ def test_lobe_nonnegative_below_horizon():
         vals = np.asarray(spec.fn(p, ang))
         dark = np.asarray(ang.cos_ln) <= 0
         assert vals[dark].max(initial=0.0) <= 1e-6, name
+
+
+def test_render_pixel_gradients_f32_vs_f64():
+    """BASELINE acceptance: *pixel* gradients of the render path (d image /
+    d params) in float32 allclose to the float64 evaluation."""
+    from brdf_tpu.pipeline.render import render_pixels
+
+    rng = np.random.default_rng(9)
+    t = 64
+    pts64 = jnp.asarray(rng.normal(size=(t, 3)), jnp.float64)
+    n64 = rng.normal(size=(t, 3))
+    n64 /= np.linalg.norm(n64, axis=-1, keepdims=True)
+    n64 = jnp.asarray(n64, jnp.float64)
+    eye64 = jnp.asarray([0.0, 0.0, 10.0], jnp.float64)
+    lights64 = jnp.asarray(rng.normal(size=(4, 3)) * 5 + np.array([0, 0, 8.0]), jnp.float64)
+    p64 = jnp.asarray(rng.uniform(0.1, 0.9, (t, 3, 3)), jnp.float64)
+
+    def image_sum(params, pts, nrm, eye, lights):
+        return jnp.sum(render_pixels("cook_torrance", params, pts, nrm, eye, lights) ** 2)
+
+    g64 = jax.grad(image_sum)(p64, pts64, n64, eye64, lights64)
+    to32 = lambda x: jnp.asarray(np.asarray(x), jnp.float32)
+    g32 = jax.grad(image_sum)(
+        to32(p64), to32(pts64), to32(n64), to32(eye64), to32(lights64)
+    )
+    np.testing.assert_allclose(
+        np.asarray(g32), np.asarray(g64), rtol=5e-4, atol=5e-5
+    )
