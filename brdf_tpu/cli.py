@@ -179,6 +179,14 @@ def cmd_render(args) -> int:
             [np.stack([jp[:, c], jp[:, 3 + c], jp[:, 6]], -1) for c in range(3)], 1
         )
         face_ids = arrays["face_ids"]
+        img = render_image(
+            cfg.model.model, scene, params, face_ids, view=args.view,
+            lights=lights, normal_offsets=jp[:, 7:9].astype(np.float32),
+        )
+        out = args.out or os.path.join(args.run, f"render_view{args.view}.png")
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(out)
+        print(out)
+        return 0
 
     img = render_image(
         cfg.model.model, scene, params, face_ids, view=args.view, lights=lights

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Any
 
 from brdf_tpu.solver.lm import LMOptions
 

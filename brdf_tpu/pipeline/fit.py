@@ -28,7 +28,6 @@ from brdf_tpu.models.brdf import (
     MODELS,
     ShadingAngles,
     angles_from_geometry,
-    shading_angles,
     shading_geometry,
 )
 from brdf_tpu.parallel.fit import fit_texels_sharded

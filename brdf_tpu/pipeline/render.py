@@ -13,8 +13,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from brdf_tpu.geometry.camera import Camera
-from brdf_tpu.geometry.rasterize import RasterMap, rasterize_mesh
 from brdf_tpu.models.brdf import MODELS, shading_angles
 from brdf_tpu.pipeline.scene import Scene
 
@@ -49,12 +47,17 @@ def render_image(
     lights: np.ndarray | None = None,
     background: float = 0.0,
     use_vertex_normals: bool = True,
+    normal_offsets: np.ndarray | None = None,  # (T, 2) fitted (nu, nv)
 ) -> np.ndarray:
     """Render the scene's mesh with fitted parameters from a view's camera.
 
     ``lights`` defaults to the view's own LED (reproducing the measurement
     condition — the round-trip case); pass any (L, 3) array to relight.
+    ``normal_offsets`` applies joint-fit tangent-space normal perturbations
+    (forces flat shading, since the offsets refine per-texel face normals).
     """
+    if normal_offsets is not None:
+        use_vertex_normals = False
     cam = scene.cameras[view]
     rm = scene.raster_map(view)
     if lights is None:
@@ -82,6 +85,19 @@ def render_image(
     valid = rows >= 0
     p_px = np.zeros((len(fids),) + params.shape[1:], params.dtype)
     p_px[valid] = params[rows[valid]]
+
+    if normal_offsets is not None:
+        from brdf_tpu.models.normalmap import tangent_basis
+
+        tb, bb = tangent_basis(jnp.asarray(nrm, jnp.float32))
+        off = np.zeros((len(fids), 2), np.float32)
+        off[valid] = normal_offsets[rows[valid]]
+        n_new = (
+            nrm
+            + off[:, 0:1] * np.asarray(tb)
+            + off[:, 1:2] * np.asarray(bb)
+        )
+        nrm = n_new / np.maximum(np.linalg.norm(n_new, axis=-1, keepdims=True), 1e-12)
 
     shaded = render_pixels(
         model,
