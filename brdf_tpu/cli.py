@@ -219,19 +219,12 @@ def cmd_info(args) -> int:
 
 
 def main(argv=None) -> int:
-    # persistent compile cache (remote TPU compiles cost minutes per miss)
-    try:
-        import jax
-
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
     p = argparse.ArgumentParser(prog="brdf_tpu")
+    p.add_argument(
+        "--platform", default=None,
+        help="force a JAX platform (e.g. cpu) — config 1 of the benchmark "
+             "ladder is CPU-runnable by design",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     f = sub.add_parser("fit", help="fit BRDF parameters for a scene")
@@ -261,6 +254,22 @@ def main(argv=None) -> int:
     sub.add_parser("info", help="backend/devices info").set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)
+
+    # platform + persistent compile cache (remote TPU compiles cost minutes
+    # per miss); must precede any backend use
+    try:
+        import jax
+
+        if args.platform:
+            jax.config.update("jax_platforms", args.platform)
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     return args.fn(args)
 
 
