@@ -85,8 +85,12 @@ def fit_texels_sharded(
     if engine == "auto":
         from brdf_tpu.ops.lm_pallas import PALLAS_MODELS
 
+        # Key off the mesh's own platform, not jax.default_backend(): a
+        # virtual-CPU validation mesh must pick the lax engine even when a
+        # real TPU is this process's default backend (and vice versa).
+        mesh_platform = mesh.devices.flat[0].platform
         pallas_ok = (
-            jax.default_backend() == "tpu"
+            mesh_platform == "tpu"
             and model in PALLAS_MODELS
             and mesh.shape[VIEW_AXIS] == 1
         )
