@@ -21,19 +21,37 @@ OPTS = LMOptions(itmax=300)
 
 @pytest.mark.parametrize("prob", PROBLEMS, ids=lambda p: p.name)
 def test_golden_problem(prob):
+    from brdf_tpu.solver.constrained import levmar_blec, levmar_bleic
+
     p0 = jnp.asarray(prob.p0, jnp.float64)
-    if prob.A is not None:
-        res = levmar_lec(
-            prob.residual, p0, prob.A, prob.b, data=prob.data, opts=OPTS,
+    opts = OPTS._replace(itmax=max(OPTS.itmax, prob.itmax))
+    boxed = prob.lower is not None or prob.upper is not None
+    if prob.C is not None:
+        res = levmar_bleic(
+            prob.residual, p0, prob.A, prob.b, prob.C, prob.d,
+            lower=prob.lower, upper=prob.upper, data=prob.data, opts=opts,
             data_axes=None,
         )
-    elif prob.lower is not None or prob.upper is not None:
+    elif prob.A is not None and boxed:
+        kw = {}
+        if prob.penalty_weight is not None:
+            kw["penalty_weight"] = prob.penalty_weight
+        res = levmar_blec(
+            prob.residual, p0, prob.A, prob.b, lower=prob.lower,
+            upper=prob.upper, data=prob.data, opts=opts, data_axes=None, **kw,
+        )
+    elif prob.A is not None:
+        res = levmar_lec(
+            prob.residual, p0, prob.A, prob.b, data=prob.data, opts=opts,
+            data_axes=None,
+        )
+    elif boxed:
         res = levmar_bc(
             prob.residual, p0, prob.lower, prob.upper, data=prob.data,
-            opts=OPTS, data_axes=None,
+            opts=opts, data_axes=None,
         )
     else:
-        res = levmar(prob.residual, p0, data=prob.data, opts=OPTS, data_axes=None)
+        res = levmar(prob.residual, p0, data=prob.data, opts=opts, data_axes=None)
 
     np.testing.assert_allclose(
         np.asarray(res.p), np.asarray(prob.p_star), atol=prob.tol, rtol=prob.tol
@@ -43,7 +61,7 @@ def test_golden_problem(prob):
         StopReason.SMALL_DP,
         StopReason.SMALL_CHI2,
     ), f"{prob.name}: bad stop reason {StopReason(int(res.stop))}"
-    assert int(res.iters) <= OPTS.itmax
+    assert int(res.iters) <= opts.itmax
 
 
 def test_batched_solves_match_individual():
