@@ -76,6 +76,9 @@ class LMOptions(NamedTuple):
     axis_name: str | None = None  # mesh axis holding a sharded residual
                                   # (view/measurement) dimension: χ², JᵀJ, Jᵀe
                                   # become psums over it (SURVEY.md §2.3)
+    linsolver: str = "cholesky"   # damped-system solver: "cholesky" | "qr" |
+                                  # "lu" | "svd" (the levmar Ax=b suite,
+                                  # levmar/Axb_core.c — see _solve_damped)
 
 
 class LMResult(NamedTuple):
@@ -102,15 +105,46 @@ class _State(NamedTuple):
     njev: jnp.ndarray
 
 
-def _solve_damped(jtj: jnp.ndarray, g: jnp.ndarray, mu: jnp.ndarray) -> jnp.ndarray:
-    """Solve ``(JᵀJ + μI) δ = −g`` by Cholesky. Non-PD systems produce NaN,
-    which the caller's acceptance test treats as a rejected step (the analogue
-    of levmar's linear-solver failure path, ``lmbc_core.c:694-700``)."""
+def _solve_damped(
+    jtj: jnp.ndarray, g: jnp.ndarray, mu: jnp.ndarray, method: str = "cholesky"
+) -> jnp.ndarray:
+    """Solve the damped normal equations ``(JᵀJ + μI) δ = −g``.
+
+    This is the batched stand-in for levmar's interchangeable Ax=b solver
+    suite (``levmar/Axb_core.c``; default Bunch-Kaufman selected at
+    ``lm_core.c:308``). The damped matrix is symmetric positive definite for
+    any μ>0, so BK pivoting buys nothing here; the offered methods are
+
+    - ``"cholesky"`` (default) — ``AX_EQ_B_CHOL`` (``Axb_core.c:446``).
+      Non-PD systems produce NaN, which the caller's acceptance test treats
+      as a rejected step (the analogue of levmar's linear-solver failure
+      path, ``lmbc_core.c:694-700``).
+    - ``"qr"``  — ``AX_EQ_B_QR`` (``Axb_core.c:116``).
+    - ``"lu"``  — ``AX_EQ_B_LU`` (``Axb_core.c:738``).
+    - ``"svd"`` — ``AX_EQ_B_SVD`` (``Axb_core.c:855``): pseudo-inverse with a
+      relative singular-value cutoff; the robust choice for (numerically)
+      singular systems.
+    """
     m = jtj.shape[-1]
-    a = jtj + mu * jnp.eye(m, dtype=jtj.dtype)
-    chol = jnp.linalg.cholesky(a)
-    y = jax.scipy.linalg.solve_triangular(chol, -g, lower=True)
-    return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+    dtype = jtj.dtype
+    a = jtj + mu * jnp.eye(m, dtype=dtype)
+    b = -g
+    if method == "cholesky":
+        chol = jnp.linalg.cholesky(a)
+        y = jax.scipy.linalg.solve_triangular(chol, b, lower=True)
+        return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+    if method == "qr":
+        q, r = jnp.linalg.qr(a)
+        return jax.scipy.linalg.solve_triangular(r, q.T @ b, lower=False)
+    if method == "lu":
+        lu, piv = jax.scipy.linalg.lu_factor(a)
+        return jax.scipy.linalg.lu_solve((lu, piv), b)
+    if method == "svd":
+        u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+        cutoff = jnp.finfo(dtype).eps * m * jnp.max(s)
+        s_inv = jnp.where(s > cutoff, 1.0 / jnp.maximum(s, jnp.finfo(dtype).tiny), 0.0)
+        return vt.T @ (s_inv * (u.T @ b))
+    raise ValueError(f"unknown linsolver {method!r}")
 
 
 def _lm_single(
@@ -221,7 +255,7 @@ def _lm_single(
             )
 
         def inner_body(t: Inner) -> Inner:
-            dp = _solve_damped(jtj_f, g_f, t.mu)
+            dp = _solve_damped(jtj_f, g_f, t.mu, opts.linsolver)
             pnew = proj(s.p + dp)
             dpa = pnew - s.p                  # actual (projected) step
             dp_norm2 = jnp.dot(dpa, dpa)

@@ -133,3 +133,44 @@ def test_analytic_jacobian_path():
 
     r = levmar(res_fn, jnp.asarray([-1.2, 1.0]), opts=OPTS, jac_fn=jac_fn, data_axes=None)
     np.testing.assert_allclose(np.asarray(r.p), [1.0, 1.0], atol=1e-8)
+
+
+@pytest.mark.parametrize("linsolver", ["cholesky", "qr", "lu", "svd"])
+def test_linsolver_suite_agrees(linsolver):
+    """Every damped-system solver (the levmar Axb_core.c suite analogue) must
+    reach the same minimizer: Meyer unconstrained + hatfldb boxed."""
+    by_name = {p.name: p for p in PROBLEMS}
+    opts = OPTS._replace(linsolver=linsolver)
+
+    meyer = by_name["meyer"]
+    r = levmar(meyer.residual, jnp.asarray(meyer.p0, jnp.float64),
+               data=meyer.data, opts=opts, data_axes=None)
+    np.testing.assert_allclose(np.asarray(r.p), meyer.p_star,
+                               atol=meyer.tol, rtol=meyer.tol)
+
+    hat = by_name["hatfldb"]
+    r = levmar_bc(hat.residual, jnp.asarray(hat.p0, jnp.float64),
+                  hat.lower, hat.upper, data=hat.data, opts=opts,
+                  data_axes=None)
+    np.testing.assert_allclose(np.asarray(r.p), hat.p_star,
+                               atol=hat.tol, rtol=hat.tol)
+
+
+def test_svd_linsolver_handles_singular_system():
+    """A residual ignoring one parameter makes JᵀJ exactly singular; the SVD
+    pseudo-inverse path (AX_EQ_B_SVD analogue) must still converge in the
+    identifiable subspace."""
+    def res_fn(p, data=None):
+        return jnp.stack([p[0] - 2.0, 3.0 * (p[0] + p[1] - 1.0)])
+
+    # p2 never appears: column 2 of J is zero. mu>0 regularizes, but SVD must
+    # also survive mu≈0 iterations without NaN.
+    def res3(p, data=None):
+        return res_fn(p)
+
+    r = levmar(res3, jnp.asarray([5.0, 5.0, 7.0]),
+               opts=OPTS._replace(linsolver="svd"), data_axes=None)
+    p = np.asarray(r.p)
+    np.testing.assert_allclose(p[0], 2.0, atol=1e-8)
+    np.testing.assert_allclose(p[1], -1.0, atol=1e-8)
+    assert np.isfinite(p).all()
