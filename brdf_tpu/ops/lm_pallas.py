@@ -328,6 +328,7 @@ class PallasFitResult(NamedTuple):
     iters: jnp.ndarray   # (T,) float32
     stop: jnp.ndarray    # (T,) int32
     g_inf: jnp.ndarray   # (T,)
+    mu: jnp.ndarray      # (T,) final damping (resume state)
 
 
 @functools.partial(
@@ -397,4 +398,5 @@ def lm_fit_pallas(
         iters=out[4],
         stop=out[5].astype(jnp.int32),
         g_inf=out[6],
+        mu=out[7],
     )

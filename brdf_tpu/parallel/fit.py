@@ -36,6 +36,7 @@ def fit_texels_sharded(
     lower=None,
     upper=None,
     engine: str = "auto",
+    warm_state=None,
 ) -> LMResult:
     """Fit per-texel BRDF parameters over a ``(data, view)`` device mesh.
 
@@ -52,6 +53,9 @@ def fit_texels_sharded(
         "pallas" (fused VMEM kernel — 3-param lobes, view axis must be
         unsharded since the kernel reduces its views locally), or "auto"
         (pallas on TPU when eligible).
+      warm_state: optional (μ, ν, stop) triple of (T,) arrays (e.g.
+        ``prev.warm_state()``) resuming a chunked fit with ``p0=prev.p``;
+        terminated lanes short-circuit. XLA engine only.
 
     Returns:
       A per-texel :class:`LMResult`, sharded over ``data``.
@@ -97,6 +101,19 @@ def fit_texels_sharded(
         engine = "pallas" if pallas_ok else "xla"
     if engine == "pallas" and mesh.shape[VIEW_AXIS] != 1:
         raise ValueError("pallas engine requires the view axis unsharded")
+    if warm_state is not None and engine == "pallas":
+        raise ValueError("warm_state resume requires the xla engine")
+
+    if warm_state is None:
+        t = target.shape[0]
+        warm = (
+            jnp.zeros((t,), target.dtype),
+            jnp.full((t,), 2.0, target.dtype),
+            jnp.zeros((t,), jnp.int32),
+        )
+    else:
+        warm = tuple(jnp.asarray(w) for w in warm_state)
+    warm = tuple(jax.device_put(w, t_sharding) for w in warm)
 
     opts_sharded = opts._replace(axis_name=VIEW_AXIS)
 
@@ -110,11 +127,17 @@ def fit_texels_sharded(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(t_spec, jax.tree.map(lambda _: tv_spec, angles), tv_spec, tv_spec),
+        in_specs=(
+            t_spec,
+            jax.tree.map(lambda _: tv_spec, angles),
+            tv_spec,
+            tv_spec,
+            (t_spec, t_spec, t_spec),
+        ),
         out_specs=jax.tree.map(lambda _: t_spec, _result_structure()),
         check_vma=False,
     )
-    def fit_block(p0_blk, angles_blk, target_blk, weights_blk):
+    def fit_block(p0_blk, angles_blk, target_blk, weights_blk, warm_blk):
         if engine == "pallas":
             from brdf_tpu.ops.lm_pallas import lm_fit_pallas
 
@@ -130,6 +153,7 @@ def fit_texels_sharded(
                 iters=r.iters.astype(jnp.int32), stop=r.stop,
                 nfev=(2.0 * r.iters + 1).astype(jnp.int32),
                 njev=r.iters.astype(jnp.int32),
+                mu=r.mu, nu=jnp.full_like(r.mu, 2.0),
             )
         return levmar_bc(
             residual,
@@ -138,12 +162,16 @@ def fit_texels_sharded(
             upper,
             data=(angles_blk, target_blk, weights_blk),
             opts=opts_sharded,
+            warm_state=warm_blk,
         )
 
-    return jax.jit(fit_block)(p0, angles, target, weights)
+    return jax.jit(fit_block)(p0, angles, target, weights, warm)
 
 
 def _result_structure() -> LMResult:
     """A template pytree with the same structure as LMResult (for out_specs)."""
     z = jnp.zeros(())
-    return LMResult(p=z, chi2=z, chi2_init=z, g_inf=z, iters=z, stop=z, nfev=z, njev=z)
+    return LMResult(
+        p=z, chi2=z, chi2_init=z, g_inf=z, iters=z, stop=z, nfev=z, njev=z,
+        mu=z, nu=z,
+    )

@@ -172,6 +172,73 @@ class FitReport:
         }
 
 
+def _merge_chunk(acc: LMResult, res: LMResult, active: jnp.ndarray) -> LMResult:
+    """Fold one resumed chunk into the accumulated result: lanes that had
+    already terminated keep their values; lanes active this chunk take the new
+    ones, with iteration/evaluation counters accumulating."""
+    keep = lambda new, old: jnp.where(active, new, old)
+    return LMResult(
+        p=jnp.where(active[:, None], res.p, acc.p),
+        chi2=keep(res.chi2, acc.chi2),
+        chi2_init=acc.chi2_init,
+        g_inf=keep(res.g_inf, acc.g_inf),
+        iters=acc.iters + jnp.where(active, res.iters, 0),
+        stop=keep(res.stop, acc.stop),
+        nfev=acc.nfev + jnp.where(active, res.nfev, 0),
+        njev=acc.njev + jnp.where(active, res.njev, 0),
+        mu=keep(res.mu, acc.mu),
+        nu=keep(res.nu, acc.nu),
+    )
+
+
+def _fit_chunked(
+    model, angles, target, mesh, opts, weights, engine, checkpointer,
+    chunk_iters, resume,
+) -> LMResult:
+    """Run the sharded fit in chunks of ``chunk_iters`` outer iterations,
+    checkpointing full solver state (p, μ, ν, stop, counters) between chunks
+    and resuming from the newest checkpoint when compatible — the
+    mid-fit resume SURVEY.md §5 calls for (the reference lost everything on
+    window close). Already-terminated lanes short-circuit in later chunks."""
+    from brdf_tpu.utils.checkpoint import latest_step
+
+    t = target.shape[0]
+    acc: LMResult | None = None
+    done = 0
+    if resume and latest_step(checkpointer.path) is not None:
+        arrays, meta = checkpointer.restore()
+        if meta.get("model") == model and arrays["p"].shape[0] == t:
+            acc = LMResult(**{
+                k: jnp.asarray(arrays[k]) for k in LMResult._fields
+            })
+            done = int(meta["iters_done"])
+
+    while done < opts.itmax:
+        if acc is None:
+            p0, warm, active = None, None, jnp.ones((t,), bool)
+        else:
+            warm = acc.warm_state()
+            active = warm[2] == 0
+            if not bool(active.any()):
+                break
+            p0 = acc.p
+        step = min(chunk_iters, opts.itmax - done)
+        res = fit_texels_sharded(
+            model, angles, target, mesh, opts=opts._replace(itmax=step),
+            weights=weights, p0=p0, engine=engine, warm_state=warm,
+        )
+        acc = res if acc is None else _merge_chunk(acc, res, active)
+        done += step
+        checkpointer.maybe_save(
+            done,
+            {k: np.asarray(getattr(acc, k)) for k in LMResult._fields},
+            {"model": model, "iters_done": done},
+        )
+        if not bool((np.asarray(acc.stop) == 3).any()):  # MAX_ITERATIONS
+            break
+    return acc
+
+
 def fit_per_texel(
     problem: TexelProblem,
     model: str = "blinn_phong",
@@ -181,6 +248,9 @@ def fit_per_texel(
     mask_saturation: bool = True,
     robust: str | None = None,
     robust_iters: int = 2,
+    checkpointer=None,
+    chunk_iters: int = 0,
+    resume: bool = True,
 ) -> FitReport:
     """Fit every (texel, channel) independently — 3·T problems, batched.
 
@@ -191,6 +261,12 @@ def fit_per_texel(
     IRLS rounds ("huber"/"cauchy"/"tukey") that downweight outlier views
     (shadows, interreflections) and refit warm-started — capabilities the
     reference's raw least squares had no answer to.
+
+    ``checkpointer`` (a :class:`brdf_tpu.utils.checkpoint.FitCheckpointer`)
+    with ``chunk_iters > 0`` runs the solve in resumable chunks: full solver
+    state is saved between chunks and a killed run picks up where it stopped
+    (``resume=False`` forces a fresh start). Chunked mode uses the XLA engine
+    (the Pallas kernel keeps its whole solve VMEM-resident).
     """
     from brdf_tpu.solver.robust import robust_weights, saturation_weights
 
@@ -220,9 +296,15 @@ def fit_per_texel(
         target = jnp.concatenate([target, jnp.zeros((pad, v), target.dtype)])
         w_rep = jnp.concatenate([w_rep, jnp.zeros((pad, v), w_rep.dtype)])
 
-    res = fit_texels_sharded(
-        model, ang_rep, target, mesh, opts=opts, weights=w_rep, engine=engine
-    )
+    if checkpointer is not None and chunk_iters > 0:
+        res = _fit_chunked(
+            model, ang_rep, target, mesh, opts, w_rep, "xla",
+            checkpointer, chunk_iters, resume,
+        )
+    else:
+        res = fit_texels_sharded(
+            model, ang_rep, target, mesh, opts=opts, weights=w_rep, engine=engine
+        )
     if robust is not None:
         for _ in range(robust_iters):
             pred = spec.fn(res.p, ang_rep)

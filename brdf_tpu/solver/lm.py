@@ -90,6 +90,19 @@ class LMResult(NamedTuple):
     stop: jnp.ndarray       # (...,) StopReason            (info[6])
     nfev: jnp.ndarray       # (...,) residual evaluations  (info[7])
     njev: jnp.ndarray       # (...,) Jacobian evaluations  (info[8])
+    mu: jnp.ndarray = jnp.nan   # (...,) final damping μ — resume state
+    nu: jnp.ndarray = jnp.nan   # (...,) final ν           — resume state
+
+    def warm_state(self):
+        """(μ, ν, stop) triple for resuming via ``levmar_bc(warm_state=...)``:
+        lanes stopped at MAX_ITERATIONS are reopened (they were cut off, not
+        converged); every other stop code is final and short-circuits."""
+        stop = jnp.where(
+            self.stop == jnp.int32(StopReason.MAX_ITERATIONS),
+            jnp.int32(StopReason.RUNNING),
+            self.stop,
+        )
+        return self.mu, self.nu, stop
 
 
 class _State(NamedTuple):
@@ -154,8 +167,14 @@ def _lm_single(
     lower: jnp.ndarray,
     upper: jnp.ndarray,
     opts: LMOptions,
+    warm: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> LMResult:
-    """One box-constrained LM solve (vmapped by the public wrappers)."""
+    """One box-constrained LM solve (vmapped by the public wrappers).
+
+    ``warm`` is an optional ``(μ0, ν0, stop0)`` resume state (SURVEY.md §5
+    checkpoint/resume): μ0≤0 or non-finite means "initialize μ from
+    τ·max diag(JᵀJ)" as usual; a non-RUNNING ``stop0`` short-circuits the
+    solve (the lane already terminated in an earlier chunk)."""
     dtype = p0.dtype
     eps1 = jnp.asarray(opts.eps1, dtype)
     eps2 = jnp.asarray(opts.eps2, dtype)
@@ -176,6 +195,18 @@ def _lm_single(
     def proj(p):
         return jnp.clip(p, lower, upper)
 
+    if warm is None:
+        mu_w = jnp.asarray(0.0, dtype)
+        nu_w = jnp.asarray(2.0, dtype)
+        stop_w = jnp.int32(StopReason.RUNNING)
+    else:
+        mu_w, nu_w, stop_w = warm
+        mu_w = jnp.asarray(mu_w, dtype)
+        nu_w = jnp.where(jnp.isfinite(nu_w), nu_w, 2.0).astype(dtype)
+        stop_w = jnp.asarray(stop_w, jnp.int32)
+    warm_mu_valid = jnp.isfinite(mu_w) & (mu_w > 0)
+    mu_w = jnp.where(warm_mu_valid, mu_w, 0.0)
+
     p0 = proj(p0)
     e0 = residual_fn(p0)
     chi2_0 = reduce_sum(jnp.dot(e0, e0))
@@ -184,14 +215,15 @@ def _lm_single(
         jnp.int32(StopReason.RUNNING),
         jnp.int32(StopReason.INVALID_VALUES),
     )
+    stop0 = jnp.where(stop_w != StopReason.RUNNING, stop_w, stop0)
 
     init = _State(
         p=p0,
         e=e0,
         chi2=chi2_0,
         g_inf=jnp.asarray(jnp.inf, dtype),
-        mu=jnp.asarray(0.0, dtype),
-        nu=jnp.asarray(2.0, dtype),
+        mu=mu_w,
+        nu=nu_w,
         iters=jnp.int32(0),
         stop=stop0,
         nfev=jnp.int32(1),
@@ -227,7 +259,9 @@ def _lm_single(
         g_f = g * free
 
         mu = jnp.where(
-            s.iters == 0, opts.tau * jnp.max(jnp.diagonal(jtj)), s.mu
+            (s.iters == 0) & (s.mu <= 0),
+            opts.tau * jnp.max(jnp.diagonal(jtj)),
+            s.mu,
         ).astype(dtype)
 
         class Inner(NamedTuple):
@@ -350,6 +384,8 @@ def _lm_single(
         stop=stop,
         nfev=final.nfev,
         njev=final.njev,
+        mu=final.mu,
+        nu=final.nu,
     )
 
 
@@ -382,6 +418,7 @@ def levmar_bc(
     jac_fn: Callable[..., jnp.ndarray] | None = None,
     data_axes: Any = 0,
     jac_mode: str = "auto",
+    warm_state=None,
 ) -> LMResult:
     """Box-constrained LM (replaces ``dlevmar_bc_der``/``dlevmar_bc_dif``,
     ``levmar/levmar.h:126-146``).
@@ -402,6 +439,11 @@ def levmar_bc(
         ``*_dif`` behavior, ``misc_core.c:137-172``), or "fd_central".
         Ignored when ``jac_fn`` is given. AD is exact and the default; FD
         exists for parity/validation against non-differentiable residuals.
+      warm_state: optional ``(μ, ν, stop)`` triple — typically
+        ``prev.warm_state()`` from an earlier :class:`LMResult` — that resumes
+        a chunked fit exactly where it left off (with ``p0 = prev.p``): damping
+        state carries over and already-terminated lanes short-circuit
+        (SURVEY.md §5 checkpoint/resume).
     """
     batched = p0.ndim == 2
 
@@ -420,7 +462,17 @@ def levmar_bc(
 
     lower_b, upper_b = _prep_bounds(p0, lower, upper)
 
-    def solve_one(p0_i, data_i):
+    if warm_state is None:
+        batch_shape = p0.shape[:-1]
+        warm = (
+            jnp.zeros(batch_shape, p0.dtype),
+            jnp.full(batch_shape, 2.0, p0.dtype),
+            jnp.full(batch_shape, int(StopReason.RUNNING), jnp.int32),
+        )
+    else:
+        warm = tuple(jnp.asarray(w) for w in warm_state)
+
+    def solve_one(p0_i, data_i, warm_i):
         return _lm_single(
             functools.partial(_flip_args(residual_fn), data_i),
             functools.partial(_flip_args(jac_of), data_i),
@@ -428,11 +480,12 @@ def levmar_bc(
             lower_b,
             upper_b,
             opts,
+            warm=warm_i,
         )
 
     if batched:
-        return jax.vmap(solve_one, in_axes=(0, data_axes))(p0, data)
-    return solve_one(p0, data)
+        return jax.vmap(solve_one, in_axes=(0, data_axes, 0))(p0, data, warm)
+    return solve_one(p0, data, warm)
 
 
 def _flip_args(fn):
@@ -440,7 +493,8 @@ def _flip_args(fn):
 
 
 def levmar(
-    residual_fn, p0, data=None, opts=LMOptions(), jac_fn=None, data_axes=0
+    residual_fn, p0, data=None, opts=LMOptions(), jac_fn=None, data_axes=0,
+    warm_state=None,
 ) -> LMResult:
     """Unconstrained LM (replaces ``dlevmar_der``/``dlevmar_dif``,
     ``levmar/levmar.h:106-124``) — the box solver with infinite bounds; the
@@ -448,7 +502,7 @@ def levmar(
     plain ``‖JᵀE‖_inf`` test of ``lm_core.c``."""
     return levmar_bc(
         residual_fn, p0, None, None, data=data, opts=opts, jac_fn=jac_fn,
-        data_axes=data_axes,
+        data_axes=data_axes, warm_state=warm_state,
     )
 
 
