@@ -106,12 +106,20 @@ def cmd_fit(args) -> int:
         arrays = {"joint_params": np.asarray(res.p), "face_ids": problem.face_ids,
                   "chi2": np.asarray(res.chi2)}
     else:
+        checkpointer = None
+        if getattr(args, "chunk_iters", 0):
+            from brdf_tpu.utils.checkpoint import FitCheckpointer
+
+            checkpointer = FitCheckpointer(os.path.join(out, "solver_ckpt"))
         report = fit_per_texel(
             problem, cfg.model.model, opts=opts,
             engine=cfg.solver.engine,
             mask_saturation=cfg.solver.mask_saturation,
             robust=cfg.solver.robust,
             robust_iters=cfg.solver.robust_iters,
+            checkpointer=checkpointer,
+            chunk_iters=getattr(args, "chunk_iters", 0) or 0,
+            resume=not getattr(args, "no_resume", False),
         )
         log("fit_done", mode="per_texel", secs=round(time.time() - t0, 2),
             converged=report.converged_fraction(), chi2=report.chi2_summary())
@@ -144,8 +152,31 @@ def _load_run(run: str):
     return arrays, meta, cfg
 
 
-def cmd_render(args) -> int:
+def _expand_params(arrays: dict, meta: dict, scene):
+    """(params (T,C,m), face_ids (T,), normal_offsets | None) from a saved run
+    of any fit mode (per-texel / single-material / joint normal-map)."""
+    if meta["mode"] == "per_texel":
+        return arrays["params"], arrays["face_ids"], None
+    if meta["mode"] == "single":
+        t = scene.mesh.num_faces
+        params = np.broadcast_to(
+            arrays["params"][None], (t,) + arrays["params"].shape
+        ).copy()
+        return params, np.arange(t), None
+    jp = arrays["joint_params"]  # (T, 9) — expand to per-channel (T, 3, m)
+    params = np.stack(
+        [np.stack([jp[:, c], jp[:, 3 + c], jp[:, 6]], -1) for c in range(3)], 1
+    )
+    return params, arrays["face_ids"], jp[:, 7:9].astype(np.float32)
+
+
+def _save_png(img: np.ndarray, out: str) -> None:
     from PIL import Image
+
+    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(out)
+
+
+def cmd_render(args) -> int:
     from brdf_tpu.pipeline.render import render_image
 
     arrays, meta, cfg = _load_run(args.run)
@@ -155,6 +186,7 @@ def cmd_render(args) -> int:
         lights = np.asarray(
             [[float(x) for x in spec.split(",")] for spec in args.light]
         )
+    out = args.out or os.path.join(args.run, f"render_view{args.view}.png")
     if meta["mode"] == "per_texel" and "pixels" in arrays:
         from brdf_tpu.pipeline.render import render_pixel_fit
 
@@ -163,37 +195,83 @@ def cmd_render(args) -> int:
             arrays["points"], arrays["normals"],
             view=args.view, lights=lights,
         )
-        out = args.out or os.path.join(args.run, f"render_view{args.view}.png")
-        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(out)
-        print(out)
-        return 0
-    if meta["mode"] == "per_texel":
-        params, face_ids = arrays["params"], arrays["face_ids"]
-    elif meta["mode"] == "single":
-        t = scene.mesh.num_faces
-        params = np.broadcast_to(arrays["params"][None], (t, 3, 3)).copy()
-        face_ids = np.arange(t)
     else:
-        jp = arrays["joint_params"]  # (T, 9) — expand to per-channel (T, 3, m)
-        params = np.stack(
-            [np.stack([jp[:, c], jp[:, 3 + c], jp[:, 6]], -1) for c in range(3)], 1
-        )
-        face_ids = arrays["face_ids"]
+        params, face_ids, offsets = _expand_params(arrays, meta, scene)
         img = render_image(
             cfg.model.model, scene, params, face_ids, view=args.view,
-            lights=lights, normal_offsets=jp[:, 7:9].astype(np.float32),
+            lights=lights, normal_offsets=offsets,
         )
-        out = args.out or os.path.join(args.run, f"render_view{args.view}.png")
-        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(out)
-        print(out)
-        return 0
-
-    img = render_image(
-        cfg.model.model, scene, params, face_ids, view=args.view, lights=lights
-    )
-    out = args.out or os.path.join(args.run, f"render_view{args.view}.png")
-    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(out)
+    _save_png(img, out)
     print(out)
+    return 0
+
+
+def cmd_turntable(args) -> int:
+    """Offline orbit preview — the replacement for the reference's interactive
+    GLUT window (mouse orbit + headlight BRDF preview, SURVEY.md §2.1 A9)."""
+    from brdf_tpu.pipeline.render import (
+        orbit_cameras,
+        render_pixels,
+        render_turntable,
+        splat_points,
+    )
+
+    arrays, meta, cfg = _load_run(args.run)
+    scene = _build_scene(cfg)
+    size = tuple(int(x) for x in args.size.split("x"))
+    lights = None
+    if args.light:
+        lights = np.asarray(
+            [[float(x) for x in spec.split(",")] for spec in args.light]
+        )
+    headlight = lights is None and not args.scene_lights
+
+    if meta["mode"] == "per_texel" and "pixels" in arrays:
+        import jax.numpy as jnp
+
+        cams = orbit_cameras(
+            scene.mesh, frames=args.frames, elevation_deg=args.elevation,
+            size=size,
+        )
+        frames = []
+        for cam in cams:
+            l_frame = (
+                np.asarray(cam.position, np.float32)[None]
+                if headlight else (lights if lights is not None else scene.lights)
+            )
+            shaded = render_pixels(
+                cfg.model.model, jnp.asarray(arrays["params"]),
+                jnp.asarray(arrays["points"], jnp.float32),
+                jnp.asarray(arrays["normals"], jnp.float32),
+                cam.position, jnp.asarray(l_frame, jnp.float32),
+            )
+            frames.append(splat_points(cam, arrays["points"], np.asarray(shaded)))
+        frames = np.stack(frames)
+    else:
+        params, face_ids, offsets = _expand_params(arrays, meta, scene)
+        frames = render_turntable(
+            cfg.model.model, scene, params, face_ids, frames=args.frames,
+            elevation_deg=args.elevation, size=size, lights=lights,
+            headlight=headlight, normal_offsets=offsets,
+        )
+
+    outdir = args.out or args.run
+    os.makedirs(outdir, exist_ok=True)
+    paths = []
+    for i, img in enumerate(frames):
+        p = os.path.join(outdir, f"turntable_{i:03d}.png")
+        _save_png(img, p)
+        paths.append(p)
+    if args.gif:
+        from PIL import Image
+
+        ims = [Image.open(p).convert("RGB") for p in paths]
+        gif = os.path.join(outdir, "turntable.gif")
+        ims[0].save(gif, save_all=True, append_images=ims[1:],
+                    duration=args.gif_ms, loop=0)
+        print(gif)
+    else:
+        print("\n".join(paths))
     return 0
 
 
@@ -233,6 +311,11 @@ def main(argv=None) -> int:
     f.add_argument("--scene")
     f.add_argument("--model", default="blinn_phong")
     f.add_argument("--out")
+    f.add_argument("--chunk-iters", type=int, default=0, dest="chunk_iters",
+                   help="checkpoint solver state every N outer iterations "
+                        "(per-texel fits; a killed run resumes automatically)")
+    f.add_argument("--no-resume", action="store_true", dest="no_resume",
+                   help="ignore existing solver checkpoints and refit")
     f.set_defaults(fn=cmd_fit)
 
     r = sub.add_parser("render", help="render from a fitted run")
@@ -249,6 +332,24 @@ def main(argv=None) -> int:
     rl.add_argument("--light", action="append", required=True)
     rl.add_argument("--out")
     rl.set_defaults(fn=cmd_render)
+
+    tt = sub.add_parser(
+        "turntable",
+        help="render an orbit around the fitted object (the interactive-"
+             "preview replacement); headlight at the eye by default",
+    )
+    tt.add_argument("--run", required=True)
+    tt.add_argument("--frames", type=int, default=12)
+    tt.add_argument("--elevation", type=float, default=20.0)
+    tt.add_argument("--size", default="512x512")
+    tt.add_argument("--light", action="append",
+                    help="fixed x,y,z light (repeatable; disables headlight)")
+    tt.add_argument("--scene-lights", action="store_true", dest="scene_lights",
+                    help="use the scene's LED rig instead of a headlight")
+    tt.add_argument("--gif", action="store_true", help="also write turntable.gif")
+    tt.add_argument("--gif-ms", type=int, default=120, dest="gif_ms")
+    tt.add_argument("--out")
+    tt.set_defaults(fn=cmd_turntable)
 
     sub.add_parser("presets", help="list named presets").set_defaults(fn=cmd_presets)
     sub.add_parser("info", help="backend/devices info").set_defaults(fn=cmd_info)

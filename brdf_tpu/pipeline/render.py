@@ -56,18 +56,37 @@ def render_image(
     ``normal_offsets`` applies joint-fit tangent-space normal perturbations
     (forces flat shading, since the offsets refine per-texel face normals).
     """
-    if normal_offsets is not None:
-        use_vertex_normals = False
-    cam = scene.cameras[view]
-    rm = scene.raster_map(view)
     if lights is None:
         lights = scene.lights[view : view + 1]
+    return shade_raster_map(
+        model, scene.mesh, scene.raster_map(view), scene.cameras[view],
+        params, face_ids, lights, background=background,
+        use_vertex_normals=use_vertex_normals, normal_offsets=normal_offsets,
+    )
+
+
+def shade_raster_map(
+    model: str,
+    mesh,
+    rm,
+    cam,
+    params: np.ndarray,
+    face_ids: np.ndarray,
+    lights: np.ndarray,
+    background: float = 0.0,
+    use_vertex_normals: bool = True,
+    normal_offsets: np.ndarray | None = None,
+) -> np.ndarray:
+    """Shade one rasterized camera view of ``mesh`` with per-texel parameters
+    — the core of :func:`render_image`, usable with any camera/raster map
+    (novel viewpoints included, see :func:`render_turntable`)."""
+    if normal_offsets is not None:
+        use_vertex_normals = False
 
     cov = rm.coverage
     fids = rm.face_id[cov]                            # faces per covered pixel
     bary = rm.bary[cov]                               # (N, 3)
 
-    mesh = scene.mesh
     tri = np.asarray(mesh.vertices)[np.asarray(mesh.faces)[fids]]   # (N, 3, 3)
     pts = np.einsum("nk,nkd->nd", bary, tri)
     if use_vertex_normals:
@@ -153,3 +172,114 @@ def relight(
     keypress preview approximated with a headlight at the eye
     (``glutcallbacks.cpp:346-445``)."""
     return render_image(model, scene, params, face_ids, view=view, lights=lights)
+
+
+def orbit_cameras(
+    mesh,
+    frames: int = 12,
+    elevation_deg: float = 20.0,
+    distance: float | None = None,
+    size: tuple[int, int] = (512, 512),
+    f: float | None = None,
+    up=(0.0, 1.0, 0.0),
+):
+    """Synthetic cameras orbiting the mesh — the batch replacement for the
+    reference's interactive mouse-orbit camera (``glutcallbacks.cpp:764-879``,
+    ``ResetCamera``)."""
+    from brdf_tpu.geometry.camera import Camera
+
+    verts = np.asarray(mesh.vertices, np.float64)
+    center = verts.mean(axis=0)
+    radius = float(np.linalg.norm(verts - center, axis=-1).max())
+    if distance is None:
+        distance = 2.5 * max(radius, 1e-6)
+    if f is None:
+        # fit the bounding sphere comfortably in frame
+        f = 0.45 * min(size) * distance / max(radius, 1e-6)
+    el = np.deg2rad(elevation_deg)
+    up = np.asarray(up, np.float64)
+    up = up / np.linalg.norm(up)
+    # orthonormal frame around `up` for the orbit plane
+    ref = np.array([1.0, 0.0, 0.0]) if abs(up[0]) < 0.9 else np.array([0.0, 0.0, 1.0])
+    e1 = np.cross(up, ref); e1 /= np.linalg.norm(e1)
+    e2 = np.cross(up, e1)
+    cams = []
+    for k in range(frames):
+        az = 2.0 * np.pi * k / frames
+        d = (np.cos(el) * (np.cos(az) * e1 + np.sin(az) * e2) + np.sin(el) * up)
+        eye = center + distance * d
+        cams.append(
+            Camera.look_at(eye, center, up=up, f=f, width=size[0], height=size[1])
+        )
+    return cams
+
+
+def render_turntable(
+    model: str,
+    scene: Scene,
+    params: np.ndarray,
+    face_ids: np.ndarray,
+    frames: int = 12,
+    elevation_deg: float = 20.0,
+    distance: float | None = None,
+    size: tuple[int, int] = (512, 512),
+    lights: np.ndarray | None = None,
+    headlight: bool = True,
+    normal_offsets: np.ndarray | None = None,
+    up=(0.0, 1.0, 0.0),
+) -> np.ndarray:
+    """Render an orbit around the fitted object — the offline equivalent of
+    the reference's interactive preview loop (``Display_`` + mouse orbit +
+    ``m``-key BRDF shading, ``glutcallbacks.cpp:344-446``, ``:764-879``).
+
+    ``headlight=True`` places the light at the eye each frame, exactly the
+    preview's GL_LIGHT1-at-eye setup (``glutcallbacks.cpp:460-478``);
+    otherwise ``lights`` (default: the scene's LEDs) stays fixed while the
+    camera orbits. Returns (frames, H, W, C) in [0, 1]-ish linear intensity.
+    """
+    from brdf_tpu.geometry.rasterize import rasterize_mesh
+
+    mesh = scene.mesh
+    cams = orbit_cameras(
+        mesh, frames=frames, elevation_deg=elevation_deg, distance=distance,
+        size=size, up=up,
+    )
+    if lights is None and not headlight:
+        lights = scene.lights
+    out = []
+    for cam in cams:
+        rm = rasterize_mesh(cam, mesh.vertices, mesh.faces)
+        l_frame = (
+            np.asarray(cam.position, np.float32)[None] if headlight else lights
+        )
+        out.append(
+            shade_raster_map(
+                model, mesh, rm, cam, params, face_ids, l_frame,
+                normal_offsets=normal_offsets,
+            )
+        )
+    return np.stack(out)
+
+
+def splat_points(
+    camera,
+    points: np.ndarray,     # (N, 3)
+    values: np.ndarray,     # (N, C)
+    background: float = 0.0,
+) -> np.ndarray:
+    """Painter's-algorithm point splat: project shaded surface samples into a
+    camera and keep the nearest per pixel. Used to preview pixel-granularity
+    fits from novel viewpoints (their texels are reference-view pixels, so
+    there is no raster map to look up)."""
+    from brdf_tpu.geometry.camera import project_np
+
+    uv, z = project_np(camera, np.asarray(points, np.float64))
+    h, w = camera.height, camera.width
+    px = np.round(uv[:, 0]).astype(np.int64)
+    py = np.round(uv[:, 1]).astype(np.int64)
+    ok = (z > 0) & (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    idx = np.nonzero(ok)[0]
+    order = idx[np.argsort(-z[idx])]         # far → near; near painted last
+    img = np.full((h, w, values.shape[-1]), background, np.float32)
+    img[py[order], px[order]] = values[order]
+    return img

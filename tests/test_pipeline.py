@@ -151,3 +151,33 @@ def test_relight_changes_image(synthetic):
     )
     cov = scene.raster_map(0).coverage
     assert np.abs(img_a[cov] - img_b[cov]).mean() > 1e-3
+
+
+def test_turntable_orbits_and_shades(synthetic):
+    """Orbit preview (the GLUT interactive-view replacement, A9): every frame
+    covers the object, headlight shading is nonzero, and the camera moves."""
+    from brdf_tpu.pipeline.render import render_turntable
+
+    scene, true_params = synthetic
+    frames = render_turntable(
+        "blinn_phong", scene, true_params, np.arange(scene.mesh.num_faces),
+        frames=4, size=(96, 96),
+    )
+    assert frames.shape == (4, 96, 96, 3)
+    for f in frames:
+        assert (f.max(-1) > 0.01).mean() > 0.02   # object visible and lit
+    assert np.abs(frames[0] - frames[2]).max() > 0.01  # viewpoint changed
+
+
+def test_splat_points_depth_order():
+    """Nearest sample wins per pixel (painter's algorithm back-to-front)."""
+    from brdf_tpu.pipeline.render import splat_points
+
+    cam = Camera.look_at(eye=(0, 0, 10), target=(0, 0, 0), f=100.0,
+                         width=32, height=32)
+    # two points on the optical axis: z=0 (near) and z=-5 (far)
+    pts = np.array([[0.0, 0.0, -5.0], [0.0, 0.0, 0.0]])
+    vals = np.array([[0.2, 0.2, 0.2], [0.9, 0.9, 0.9]])
+    img = splat_points(cam, pts, vals)
+    px = img[16, 15:17].max(0)  # principal point lands at (15.5, 15.5)
+    np.testing.assert_allclose(px, 0.9, atol=1e-6)
