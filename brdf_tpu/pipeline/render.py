@@ -20,7 +20,7 @@ from brdf_tpu.pipeline.scene import Scene
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("model",))
+@functools.partial(jax.jit, static_argnames=("model", "engine"))
 def render_pixels(
     model: str,
     params: jnp.ndarray,    # (N, C, m) per-pixel per-channel parameters
@@ -28,10 +28,24 @@ def render_pixels(
     normals: jnp.ndarray,   # (N, 3) unit normals
     eye: jnp.ndarray,       # (3,) camera position
     lights: jnp.ndarray,    # (L, 3) active point lights
+    engine: str = "xla",    # "xla" (fused jnp lobe) | "pallas" (hand kernel)
 ) -> jnp.ndarray:
     """Shade N surface samples under L lights; returns (N, C) with light
-    contributions summed. Pure and jittable — the hot serve function."""
+    contributions summed. Pure and jittable — the hot serve function.
+
+    ``engine="pallas"`` routes through the hand-written VMEM shading kernel
+    (``ops/shading_pallas.py``, analytic fwd+bwd); the default XLA path lets
+    the compiler fuse the jnp lobe. Both are bitwise-close (tests assert it).
+    """
     ang = shading_angles(points, normals, eye, lights)   # cosines (N, L)
+    if engine == "pallas":
+        from brdf_tpu.ops.shading_pallas import shade_pallas
+
+        n, c, m = params.shape
+        l = ang.cos_ln.shape[-1]
+        ang_flat = jax.tree.map(lambda a: jnp.repeat(a, c, axis=0), ang)
+        vals = shade_pallas(model, params.reshape(n * c, m), ang_flat)
+        return jnp.sum(vals.reshape(n, c, l), axis=-1)
     fn = MODELS[model].fn
     # params (N, C, m) × angles (N, 1, L) broadcast to (N, C, L); sum lights
     vals = fn(params, jax.tree.map(lambda a: a[:, None, :], ang))
