@@ -142,13 +142,18 @@ def main():
 
 def _shading_mrays():
     """Secondary metric: Cook-Torrance shading Mrays/s forward+backward
-    (one ray = one (texel, view) evaluation; the BASELINE north-star unit).
+    (one ray = one (texel, view) evaluation; the BASELINE north-star unit),
+    through the Pallas shading kernel with its analytic VJP
+    (ops/shading_pallas.py — measured 1.6x the XLA-fused jnp lobe on v5e;
+    see benchmarks/shading_tpu.py for the side-by-side).
     Gated by BENCH_SHADING=0 to keep the primary bench minimal."""
     import os
 
+    from brdf_tpu.ops.shading_pallas import shade_pallas
+
+    spec = MODELS["cook_torrance"]
     if os.environ.get("BENCH_SHADING", "1") == "0":
         return {}
-    spec = MODELS["cook_torrance"]
     t2, v2 = 262144, 16
     rng = np.random.default_rng(1)
     ang = ShadingAngles(
@@ -169,7 +174,11 @@ def _shading_mrays():
     @jax.jit
     def shade_fwd_bwd(p, ang, y):
         def loss(pp):
-            return 0.5 * jnp.sum((spec.fn(pp, ang) - y) ** 2)
+            # interpret=False: never fall back to the (glacial) interpreter —
+            # this bench is only meaningful on the real chip
+            return 0.5 * jnp.sum(
+                (shade_pallas("cook_torrance", pp, ang, interpret=False) - y) ** 2
+            )
 
         val, grad = jax.value_and_grad(loss)(p)
         return val, grad, val + jnp.sum(grad[:1])
