@@ -185,6 +185,87 @@ def cook_torrance_fresnel(params: jnp.ndarray, angles: ShadingAngles) -> jnp.nda
     return diff + spec * fresnel
 
 
+def lambert(params: jnp.ndarray, angles: ShadingAngles) -> jnp.ndarray:
+    """Pure diffuse ``I = kd/π·⟨N·L⟩`` — the 1-parameter baseline lobe."""
+    kd = params[..., 0:1]
+    return kd / jnp.pi * jnp.maximum(angles.cos_ln, 0.0)
+
+
+def oren_nayar(params: jnp.ndarray, angles: ShadingAngles) -> jnp.ndarray:
+    """Oren-Nayar rough diffuse (qualitative model), params ``(kd, sigma)``
+    with sigma the surface-roughness std-dev in radians:
+
+    ``I = kd/π·⟨N·L⟩·(A + B·max(0, cosφΔ)·sinα·tanβ)``
+
+    where ``A = 1 − σ²/(2(σ²+0.33))``, ``B = 0.45 σ²/(σ²+0.09)``,
+    ``α = max(θi, θr)``, ``β = min(θi, θr)``. The azimuthal difference comes
+    from the cosine channels alone: ``cosφΔ = (L·V − cosθi cosθr)/(sinθi sinθr)``
+    with ``L·V`` recovered via :func:`_lv_from_angles`. No reference
+    counterpart (the reference had only Phong-family lobes); extension lobe
+    for matte real-world materials.
+    """
+    kd = params[..., 0:1]
+    sigma = params[..., 1:2]
+    s2 = sigma * sigma
+    a_coef = 1.0 - 0.5 * s2 / (s2 + 0.33)
+    b_coef = 0.45 * s2 / (s2 + 0.09)
+
+    nl = jnp.clip(angles.cos_ln, -1.0, 1.0)
+    nv = jnp.clip(angles.cos_vn, -1.0, 1.0)
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - nl * nl, 0.0))
+    sin_r = jnp.sqrt(jnp.maximum(1.0 - nv * nv, 0.0))
+    lv = _lv_from_angles(angles)
+    cos_phi = (lv - nl * nv) / jnp.maximum(sin_i * sin_r, _EPS)
+    cos_phi = jnp.clip(cos_phi, -1.0, 1.0)
+
+    cos_alpha = jnp.minimum(nl, nv)              # larger angle = smaller cos
+    cos_beta = jnp.maximum(nl, nv)
+    sin_alpha = jnp.sqrt(jnp.maximum(1.0 - cos_alpha * cos_alpha, 0.0))
+    tan_beta = jnp.sqrt(jnp.maximum(1.0 - cos_beta * cos_beta, 0.0)) / jnp.maximum(
+        cos_beta, _EPS
+    )
+    term = a_coef + b_coef * jnp.maximum(cos_phi, 0.0) * sin_alpha * tan_beta
+    return kd / jnp.pi * jnp.maximum(nl, 0.0) * term
+
+
+def ward(params: jnp.ndarray, angles: ShadingAngles) -> jnp.ndarray:
+    """Isotropic Ward gloss (Walter's normalization), params ``(kd, ks, alpha)``:
+
+    ``I = kd/π·⟨N·L⟩ + ks·√(⟨N·L⟩/⟨N·V⟩)·exp(−tan²δ/α²)/(4πα²)``
+
+    with δ the half-vector/normal angle, so ``tan²δ = (1−cosNH²)/cosNH²``
+    comes straight from the existing angle channels. Extension lobe (brushed
+    metals / glossy paints); no reference counterpart.
+    """
+    kd = params[..., 0:1]
+    ks = params[..., 1:2]
+    alpha = jnp.maximum(params[..., 2:3], 1e-3)
+    a2 = alpha * alpha
+
+    nl = jnp.maximum(angles.cos_ln, 0.0)
+    nv = jnp.maximum(angles.cos_vn, _EPS)
+    nh = jnp.maximum(angles.cos_nh, _EPS)
+    tan2 = (1.0 - nh * nh) / (nh * nh)
+    lobe = jnp.exp(-tan2 / a2) / (4.0 * jnp.pi * a2)
+    spec = ks * jnp.sqrt(nl / nv) * lobe
+    # both-sides horizon mask: √(nl/nv) diverges as the view goes back-facing
+    lit = (angles.cos_ln > 0) & (angles.cos_nh > 0) & (angles.cos_vn > 0)
+    return kd / jnp.pi * nl + spec * lit
+
+
+def minnaert(params: jnp.ndarray, angles: ShadingAngles) -> jnp.ndarray:
+    """Minnaert limb-darkening diffuse ``I = kd·⟨N·L⟩ᵏ·⟨N·V⟩^(k−1)``,
+    params ``(kd, k)`` (k=1 reduces to Lambert·π). Classic lunar/velvet
+    model; extension lobe, no reference counterpart."""
+    kd = params[..., 0:1]
+    k = params[..., 1:2]
+    nl = jnp.maximum(angles.cos_ln, 0.0)
+    nv = jnp.maximum(angles.cos_vn, _EPS)
+    # back-facing views masked: nv^(k−1) with k<1 diverges at the eps clamp
+    lit = (angles.cos_ln > 0) & (angles.cos_vn > 0)
+    return kd * _safe_pow(nl, k) * _safe_pow(nv, k - 1.0) * lit
+
+
 class ModelSpec(NamedTuple):
     name: str
     n_params: int
@@ -194,6 +275,8 @@ class ModelSpec(NamedTuple):
                                 # {0.5, 1, 1}, brdfdata.cpp:1085)
     lower: tuple[float, ...]    # default box (reference: [0,100]³,
     upper: tuple[float, ...]    # brdfdata.cpp:1115-1117)
+    linear: int = 2             # leading params the lobe is linear in
+                                # (drives solver/init.py's closed-form NNLS)
 
 
 MODELS: dict[str, ModelSpec] = {
@@ -213,6 +296,22 @@ MODELS: dict[str, ModelSpec] = {
         "cook_torrance_fresnel", 4, cook_torrance_fresnel,
         ("kd", "ks", "roughness", "f0"),
         (0.5, 0.5, 0.5, 0.5), (0.0, 0.0, 1e-3, 0.0), (100.0, 100.0, 1.0, 1.0),
+    ),
+    "lambert": ModelSpec(
+        "lambert", 1, lambert, ("kd",),
+        (0.5,), (0.0,), (100.0,), linear=1,
+    ),
+    "oren_nayar": ModelSpec(
+        "oren_nayar", 2, oren_nayar, ("kd", "sigma"),
+        (0.5, 0.3), (0.0, 0.0), (100.0, 1.5), linear=1,
+    ),
+    "ward": ModelSpec(
+        "ward", 3, ward, ("kd", "ks", "alpha"),
+        (0.5, 0.5, 0.3), (0.0, 0.0, 1e-3), (100.0, 100.0, 1.0),
+    ),
+    "minnaert": ModelSpec(
+        "minnaert", 2, minnaert, ("kd", "k"),
+        (0.5, 1.0), (0.0, 0.3), (100.0, 3.0), linear=1,
     ),
 }
 

@@ -35,6 +35,14 @@ def default_shape_grid(model: str, num: int = 16) -> np.ndarray:
         f = np.linspace(0.05, 1.0, 4)
         rr, ff = np.meshgrid(r, f, indexing="ij")
         return np.stack([rr.ravel(), ff.ravel()], axis=-1)
+    if model == "ward":
+        return np.linspace(0.05, 1.0, num)[:, None]
+    if model == "oren_nayar":
+        return np.linspace(0.0, 1.5, num)[:, None]
+    if model == "minnaert":
+        return np.linspace(0.3, 3.0, num)[:, None]
+    if model == "lambert":
+        return np.zeros((1, 0))      # no shape parameters: one closed-form solve
     raise ValueError(f"no default shape grid for model {model!r}")
 
 
@@ -87,10 +95,14 @@ def linear_grid_init(
       ``(..., 2 + k)`` initial parameters.
     """
     spec = MODELS[model]
-    k = spec.n_params - 2
+    n_lin = spec.linear              # 2 for (kd, ks) lobes, 1 for diffuse-only
+    k = spec.n_params - n_lin
     if shape_grid is None:
         shape_grid = default_shape_grid(model)
-    shape_grid = np.asarray(shape_grid, dtype=np.float64).reshape(-1, k)
+    shape_grid = (
+        np.asarray(shape_grid, dtype=np.float64).reshape(-1, k)
+        if k else np.zeros((1, 0))     # shape-free lobe: one closed-form solve
+    )
     g_count = shape_grid.shape[0]
     dtype = target.dtype
 
@@ -102,6 +114,19 @@ def linear_grid_init(
 
     def score(shape_vals):
         """One grid point → (params (..., m), cost (...))."""
+        if n_lin == 1:
+            unit_kd = jnp.concatenate([jnp.asarray([1.0], dtype), shape_vals])
+            a = spec.fn(unit_kd, angles)          # diffuse basis (..., V)
+            aw = a * weights
+            aa = jnp.sum(aw * a, axis=-1)
+            ay = jnp.sum(a * ty, axis=-1)
+            kd = jnp.maximum(ay / jnp.maximum(aa, 1e-30), 0.0)
+            cost = kd * kd * aa - 2.0 * kd * ay
+            p_gi = jnp.concatenate(
+                [kd[..., None], jnp.broadcast_to(shape_vals, kd.shape + (k,))],
+                axis=-1,
+            )
+            return p_gi, cost
         unit_kd = jnp.concatenate([jnp.asarray([1.0, 0.0], dtype), shape_vals])
         unit_ks = jnp.concatenate([jnp.asarray([0.0, 1.0], dtype), shape_vals])
         a = spec.fn(unit_kd, angles)              # diffuse basis  (..., V)

@@ -38,10 +38,21 @@ def _sample_params(model, rng, n):
             [rng.uniform(0.1, 0.9, n), rng.uniform(0.2, 1.0, n), rng.uniform(0.1, 0.9, n)],
             axis=-1,
         )
+    if model == "ward":
+        return np.stack(
+            [rng.uniform(0.1, 0.9, n), rng.uniform(0.2, 1.0, n), rng.uniform(0.1, 0.8, n)],
+            axis=-1,
+        )
+    if model == "oren_nayar":
+        return np.stack([rng.uniform(0.2, 1.0, n), rng.uniform(0.2, 1.2, n)], axis=-1)
+    if model == "minnaert":
+        return np.stack([rng.uniform(0.2, 1.0, n), rng.uniform(0.5, 2.0, n)], axis=-1)
+    if model == "lambert":
+        return rng.uniform(0.2, 1.0, (n, 1))
     raise ValueError(model)
 
 
-@pytest.mark.parametrize("model", ["phong", "blinn_phong", "cook_torrance"])
+@pytest.mark.parametrize("model", ["phong", "blinn_phong", "cook_torrance", "ward"])
 def test_roundtrip_fit(cup_angles, model):
     spec = MODELS[model]
     rng = np.random.default_rng(7)
@@ -113,3 +124,35 @@ def test_noisy_roundtrip(cup_angles):
     assert np.median(chi2) < 16 * 0.005**2 * 3
     kd_err = np.abs(np.asarray(res.p[:, 0]) - np.asarray(true_p[:, 0]))
     assert np.median(kd_err) < 0.05
+
+
+@pytest.mark.parametrize("model", ["lambert", "oren_nayar", "minnaert"])
+def test_roundtrip_fit_diffuse_lobes(cup_angles, model):
+    """Diffuse-family extension lobes: synthesize → fit back. The diffuse
+    albedo must recover everywhere the texel is lit; the shape parameter
+    (sigma/k) wherever it measurably changes the signal."""
+    spec = MODELS[model]
+    rng = np.random.default_rng(13)
+    true_p = jnp.asarray(_sample_params(model, rng, T))
+    target = spec.fn(true_p, cup_angles)
+
+    def residual(p, data):
+        angles, y = data
+        return spec.fn(p, angles) - y
+
+    p0 = linear_grid_init(model, cup_angles, target)
+    opts = LMOptions(eps1=1e-12, eps2=1e-12, eps3=1e-24, itmax=100)
+    res = jax.jit(
+        lambda p0, d: levmar_bc(residual, p0, spec.lower, spec.upper, data=d, opts=opts)
+    )(p0, (cup_angles, target))
+
+    chi2 = np.asarray(res.chi2)
+    signal = np.asarray(target**2).sum(-1)
+    lit = signal > 1e-4
+    assert lit.sum() > 100
+    assert np.median(chi2[lit]) < 1e-14
+    rel = np.abs(np.asarray(res.p) - np.asarray(true_p)) / np.maximum(
+        np.abs(np.asarray(true_p)), 1e-3
+    )
+    # kd (always identifiable when lit)
+    assert (rel[:, 0] < 1e-2)[lit].mean() > 0.9
