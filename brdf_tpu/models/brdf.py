@@ -244,13 +244,17 @@ def ward(params: jnp.ndarray, angles: ShadingAngles) -> jnp.ndarray:
 
     nl = jnp.maximum(angles.cos_ln, 0.0)
     nv = jnp.maximum(angles.cos_vn, _EPS)
-    nh = jnp.maximum(angles.cos_nh, _EPS)
+    # both-sides horizon mask: √(nl/nv) and tan²δ diverge as the light/view
+    # goes back-facing. Double-where keeps autodiff finite: √'s infinite slope
+    # at nl=0 and d(tan²)/dnh = −2/nh³ at clamped nh must not leak NaN/overflow
+    # through the masked branch (−1/nh⁴ overflows f32 below nh≈1e-10).
+    lit = (angles.cos_ln > 0) & (angles.cos_nh > 0) & (angles.cos_vn > 0)
+    nh = jnp.maximum(jnp.where(lit, angles.cos_nh, 1.0), 1e-4)
     tan2 = (1.0 - nh * nh) / (nh * nh)
     lobe = jnp.exp(-tan2 / a2) / (4.0 * jnp.pi * a2)
-    spec = ks * jnp.sqrt(nl / nv) * lobe
-    # both-sides horizon mask: √(nl/nv) diverges as the view goes back-facing
-    lit = (angles.cos_ln > 0) & (angles.cos_nh > 0) & (angles.cos_vn > 0)
-    return kd / jnp.pi * nl + spec * lit
+    rt = jnp.sqrt(jnp.where(lit, nl, 1.0) / nv)
+    spec = ks * jnp.where(lit, rt * lobe, 0.0)
+    return kd / jnp.pi * nl + spec
 
 
 def minnaert(params: jnp.ndarray, angles: ShadingAngles) -> jnp.ndarray:

@@ -112,12 +112,32 @@ def _cook_torrance_eval(angles, kd, ks, rough):
     return i_val, diff_b, spec_core, d_r
 
 
+def _ward_eval(angles, kd, ks, alpha):
+    cl, cnh, cvn = angles
+    nl = jnp.maximum(cl, 0.0)
+    nv = jnp.maximum(cvn, _EPS)
+    nh = jnp.maximum(cnh, 1e-4)       # floor matches models/brdf.py::ward
+    a = jnp.maximum(alpha, 1e-3)
+    a2 = a * a
+    tan2 = (1.0 - nh * nh) / (nh * nh)
+    lobe = jnp.exp(-tan2 / a2) / (4.0 * jnp.pi * a2)
+    lit = (cl > 0) & (cnh > 0) & (cvn > 0)
+    litf = lit.astype(cl.dtype)
+    diff_b = nl / jnp.pi
+    spec_b = jnp.sqrt(nl / nv) * lobe * litf
+    i_val = kd * diff_b + ks * spec_b
+    # d/dα [exp(−t/α²)/(4πα²)] = lobe·2(t − α²)/α³
+    d_a = ks * spec_b * 2.0 * (tan2 - a2) / (a2 * a) * (alpha > 1e-3)
+    return i_val, diff_b, spec_b, d_a
+
+
 PALLAS_MODELS: dict[str, PallasModel] = {
     "blinn_phong": PallasModel("blinn_phong", ("cos_ln", "cos_nh"), _blinn_phong_eval),
     "phong": PallasModel("phong", ("cos_ln", "cos_rv"), _phong_eval),
     "cook_torrance": PallasModel(
         "cook_torrance", ("cos_ln", "cos_nh", "cos_vn"), _cook_torrance_eval
     ),
+    "ward": PallasModel("ward", ("cos_ln", "cos_nh", "cos_vn"), _ward_eval),
 }
 
 

@@ -201,6 +201,137 @@ def _cook_torrance_fresnel_full(angles, params):
     return i_val, (d_kd, d_ks, d_rough, d_f0), (d_cl, d_cnh, d_cvn, d_crv)
 
 
+def _lambert_full(angles, params):
+    (cl,) = angles
+    (kd,) = params
+    inv_pi = 1.0 / jnp.pi
+    nl = jnp.maximum(cl, 0.0)
+    i_val = kd * inv_pi * nl
+    return i_val, (inv_pi * nl,), (kd * inv_pi * (cl > 0).astype(cl.dtype),)
+
+
+def _minnaert_full(angles, params):
+    cl, cvn = angles
+    kd, k = params
+    nl = jnp.maximum(cl, 0.0)
+    nv = jnp.maximum(cvn, _EPS)
+    lit = ((cl > 0) & (cvn > 0)).astype(cl.dtype)
+    nl_s = jnp.maximum(nl, _EPS)
+    ln_l = jnp.log(nl_s)
+    ln_v = jnp.log(nv)
+    ml = cl > 0                       # _safe_pow's base>0 branch selector
+    pl = jnp.where(ml, jnp.exp(k * ln_l), 0.0)           # nl^k
+    pl_m1 = jnp.where(ml, jnp.exp((k - 1.0) * ln_l), 0.0)
+    pv = jnp.exp((k - 1.0) * ln_v)                       # nv^(k−1), nv>0 always
+    pv_m1 = jnp.exp((k - 2.0) * ln_v)
+    base = pl * pv * lit
+    i_val = kd * base
+    d_k = kd * base * (ln_l + ln_v)
+    d_cl = kd * k * pl_m1 * pv * lit
+    d_cvn = kd * pl * (k - 1.0) * pv_m1 * lit * (cvn > _EPS).astype(cl.dtype)
+    return i_val, (base, d_k), (d_cl, d_cvn)
+
+
+def _ward_full(angles, params):
+    cl, cnh, cvn = angles
+    kd, ks, alpha = params
+    nl = jnp.maximum(cl, 0.0)
+    nv = jnp.maximum(cvn, _EPS)
+    nh = jnp.maximum(cnh, 1e-4)       # floor matches models/brdf.py::ward
+    a = jnp.maximum(alpha, 1e-3)
+    a2 = a * a
+    tan2 = (1.0 - nh * nh) / (nh * nh)
+    lobe = jnp.exp(-tan2 / a2) / (4.0 * jnp.pi * a2)
+    lit = ((cl > 0) & (cnh > 0) & (cvn > 0)).astype(cl.dtype)
+    inv_pi = 1.0 / jnp.pi
+    rt = jnp.sqrt(nl / nv)
+    spec_b = rt * lobe * lit
+    i_val = kd * inv_pi * nl + ks * spec_b
+    d_kd = inv_pi * nl
+    d_ks = spec_b
+    d_a = ks * spec_b * 2.0 * (tan2 - a2) / (a2 * a) * (alpha > 1e-3).astype(cl.dtype)
+    # d√(nl/nv)/dnl = 1/(2√(nl·nv)); the nl=0 branch is dead (lit=0 there)
+    d_cl = kd * inv_pi * (cl > 0).astype(cl.dtype) \
+        + ks * lobe * lit / (2.0 * jnp.sqrt(jnp.maximum(nl * nv, _EPS))) \
+        * (cl > 0).astype(cl.dtype)
+    # dtan²/dnh = −2/nh³, dlobe/dtan² = −lobe/α²
+    d_cnh = ks * rt * lobe * lit * (2.0 / (nh * nh * nh * a2)) \
+        * (cnh > 1e-4).astype(cl.dtype)
+    d_cvn = ks * lobe * lit * (-0.5) * rt / nv * (cvn > _EPS).astype(cl.dtype)
+    return i_val, (d_kd, d_ks, d_a), (d_cl, d_cnh, d_cvn)
+
+
+def _oren_nayar_full(angles, params):
+    cl, cvn, crv = angles
+    kd, sigma = params
+    s2 = sigma * sigma
+    a_coef = 1.0 - 0.5 * s2 / (s2 + 0.33)
+    b_coef = 0.45 * s2 / (s2 + 0.09)
+    da_ds = -0.33 * sigma / ((s2 + 0.33) ** 2)
+    db_ds = 0.081 * sigma / ((s2 + 0.09) ** 2)
+
+    live_l = ((cl > -1.0) & (cl < 1.0)).astype(cl.dtype)   # clip subgradients
+    live_v = ((cvn > -1.0) & (cvn < 1.0)).astype(cl.dtype)
+    nl = jnp.clip(cl, -1.0, 1.0)
+    nv = jnp.clip(cvn, -1.0, 1.0)
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - nl * nl, 0.0))
+    sin_r = jnp.sqrt(jnp.maximum(1.0 - nv * nv, 0.0))
+    dsin_i = -nl / jnp.maximum(sin_i, _EPS) * (sin_i > 0)
+    dsin_r = -nv / jnp.maximum(sin_r, _EPS) * (sin_r > 0)
+
+    # L·V = 2 cl·cvn − crv (raw angles, models/brdf.py::_lv_from_angles)
+    lv = 2.0 * cl * cvn - crv
+    den_raw = sin_i * sin_r
+    den = jnp.maximum(den_raw, _EPS)
+    live_den = (den_raw > _EPS).astype(cl.dtype)
+    cp_raw = (lv - nl * nv) / den
+    live_cp = ((cp_raw > -1.0) & (cp_raw < 1.0)).astype(cl.dtype)
+    cp = jnp.clip(cp_raw, -1.0, 1.0)
+    cpp = jnp.maximum(cp, 0.0)
+    live_pos = (cp > 0).astype(cl.dtype)
+    # ∂cp/∂(lv, nl, nv) — quotient rule; den's own nl/nv dependence included
+    dcp_dlv = live_cp / den * live_den
+    dcp_dnl = live_cp * (-nv * den - (lv - nl * nv) * dsin_i * sin_r) / (den * den) \
+        * live_den
+    dcp_dnv = live_cp * (-nl * den - (lv - nl * nv) * sin_i * dsin_r) / (den * den) \
+        * live_den
+
+    cos_a = jnp.minimum(nl, nv)
+    cos_b = jnp.maximum(nl, nv)
+    pick_l = (nl <= nv).astype(cl.dtype)    # nl is the *larger angle* branch
+    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+    cos_b_s = jnp.maximum(cos_b, _EPS)
+    tan_b = jnp.sqrt(jnp.maximum(1.0 - cos_b * cos_b, 0.0)) / cos_b_s
+    s_geo = sin_a * tan_b
+    # ∂S/∂cosα = −cosα/sinα·tanβ ; ∂S/∂cosβ = −sinα/(sinβ·cosβ²)
+    ds_dca = -cos_a / jnp.maximum(sin_a, _EPS) * (sin_a > 0) * tan_b
+    sin_b = jnp.sqrt(jnp.maximum(1.0 - cos_b * cos_b, 0.0))
+    ds_dcb = -sin_a / jnp.maximum(sin_b * cos_b_s * cos_b_s, _EPS) * (sin_b > 0) \
+        * (cos_b > _EPS).astype(cl.dtype)
+    ds_dnl = jnp.where(pick_l > 0, ds_dca, ds_dcb)
+    ds_dnv = jnp.where(pick_l > 0, ds_dcb, ds_dca)
+
+    nlp = jnp.maximum(nl, 0.0)
+    live_nlp = ((nl > 0).astype(cl.dtype)) * live_l
+    inv_pi = 1.0 / jnp.pi
+    term = a_coef + b_coef * cpp * s_geo
+    base = inv_pi * nlp * term
+    i_val = kd * base
+
+    dterm_dnl = b_coef * (live_pos * dcp_dnl * s_geo + cpp * ds_dnl)
+    dterm_dnv = b_coef * (live_pos * dcp_dnv * s_geo + cpp * ds_dnv)
+    dterm_dlv = b_coef * live_pos * dcp_dlv * s_geo
+    # total ∂I/∂cl: through nlp, through nl in (cp, S), and through lv=2·cl·cvn−crv
+    d_cl = kd * inv_pi * (
+        live_nlp * term
+        + nlp * (dterm_dnl * live_l + dterm_dlv * 2.0 * cvn)
+    )
+    d_cvn = kd * inv_pi * nlp * (dterm_dnv * live_v + dterm_dlv * 2.0 * cl)
+    d_crv = kd * inv_pi * nlp * dterm_dlv * -1.0
+    d_sigma = kd * inv_pi * nlp * (da_ds + db_ds * cpp * s_geo)
+    return i_val, (base, d_sigma), (d_cl, d_cvn, d_crv)
+
+
 SHADING_KERNELS: dict[str, ShadingKernelSpec] = {
     "blinn_phong": ShadingKernelSpec(
         "blinn_phong", 3, ("cos_ln", "cos_nh"), _blinn_phong_full),
@@ -211,6 +342,13 @@ SHADING_KERNELS: dict[str, ShadingKernelSpec] = {
     "cook_torrance_fresnel": ShadingKernelSpec(
         "cook_torrance_fresnel", 4, ("cos_ln", "cos_nh", "cos_vn", "cos_rv"),
         _cook_torrance_fresnel_full),
+    "lambert": ShadingKernelSpec("lambert", 1, ("cos_ln",), _lambert_full),
+    "minnaert": ShadingKernelSpec(
+        "minnaert", 2, ("cos_ln", "cos_vn"), _minnaert_full),
+    "ward": ShadingKernelSpec(
+        "ward", 3, ("cos_ln", "cos_nh", "cos_vn"), _ward_full),
+    "oren_nayar": ShadingKernelSpec(
+        "oren_nayar", 2, ("cos_ln", "cos_vn", "cos_rv"), _oren_nayar_full),
 }
 
 _P_ROWS = 8  # params padded to 8 sublanes (f32 tile alignment)

@@ -26,7 +26,7 @@ def _problem(model, t=256, v=16, seed=0):
         cos_rv=jnp.asarray(rng.uniform(-1, 1, (t, v)), jnp.float32),
         cos_vn=jnp.asarray(rng.uniform(0.1, 1, (t, v)), jnp.float32),
     )
-    if model == "cook_torrance":
+    if model in ("cook_torrance", "ward"):   # bounded shape param in (0, 1]
         true_p = np.stack(
             [rng.uniform(0.1, 0.9, t), rng.uniform(0.2, 1.0, t), rng.uniform(0.15, 0.9, t)],
             -1,
