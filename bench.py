@@ -151,7 +151,6 @@ def _shading_mrays():
 
     from brdf_tpu.ops.shading_pallas import shade_pallas
 
-    spec = MODELS["cook_torrance"]
     if os.environ.get("BENCH_SHADING", "1") == "0":
         return {}
     t2, v2 = 262144, 16

@@ -451,7 +451,13 @@ def shade_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     t, v = angles.cos_ln.shape
-    block_t = min(block_t, _ceil_to(t, 128))
+    # VMEM budget: the backward block holds angles + their cotangents (2·A·V),
+    # ct (V), and the two params planes per lane — large view counts must
+    # shrink the texel block, not overflow VMEM (CLAUDE.md kernel rule).
+    a = len(spec.angle_names)
+    lane_bytes = 4 * (2 * a * v + 2 * v + 2 * _P_ROWS)
+    vmem_cap = max((8 << 20) // lane_bytes // 128 * 128, 128)
+    block_t = min(block_t, vmem_cap, _ceil_to(t, 128))
     pad = (-t) % block_t
     tp = t + pad
 

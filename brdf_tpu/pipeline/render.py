@@ -46,6 +46,8 @@ def render_pixels(
         ang_flat = jax.tree.map(lambda a: jnp.repeat(a, c, axis=0), ang)
         vals = shade_pallas(model, params.reshape(n * c, m), ang_flat)
         return jnp.sum(vals.reshape(n, c, l), axis=-1)
+    if engine != "xla":
+        raise ValueError(f"unknown shading engine {engine!r} (xla | pallas)")
     fn = MODELS[model].fn
     # params (N, C, m) × angles (N, 1, L) broadcast to (N, C, L); sum lights
     vals = fn(params, jax.tree.map(lambda a: a[:, None, :], ang))

@@ -7,11 +7,13 @@ the shininess has zero Jacobian (it only appears multiplied by ``ks``) and the
 fit deadlocks at a spurious stationary point.
 
 This module removes the trap structurally instead of imitating it: every
-registered lobe is *linear in (kd, ks) given its shape parameters*, so for a
-small grid of shape values we can solve the 2-variable nonnegative
-least-squares per texel in closed form, score each grid point by its χ², and
-start LM from the best — a fully vectorized, TPU-friendly initializer (a
-(G, T, V) elementwise pass + tiny 2×2 solves; no iteration).
+registered lobe is *linear in its leading parameters given its shape
+parameters* (``ModelSpec.linear``: (kd, ks) for specular lobes, kd alone for
+the diffuse-only family), so for a small grid of shape values we can solve
+the 1- or 2-variable nonnegative least-squares per texel in closed form,
+score each grid point by its χ², and start LM from the best — a fully
+vectorized, TPU-friendly initializer (a (G, T, V) elementwise pass + tiny
+closed-form solves; no iteration).
 """
 
 from __future__ import annotations
@@ -85,14 +87,15 @@ def linear_grid_init(
     """Best (kd, ks, shape…) start per texel from a shape-parameter grid.
 
     Args:
-      model: registered model name (must be linear in its first two params).
+      model: registered model name (must be linear in its leading
+        ``ModelSpec.linear`` params — 2 for specular lobes, 1 for diffuse-only).
       angles: per-(texel, view) cosines, leading shape ``(..., V)``.
       target: measured intensities ``(..., V)``.
       shape_grid: ``(G, k)`` nonlinear-parameter grid (default per model).
       weights: optional per-(texel, view) weights (e.g. visibility masks).
 
     Returns:
-      ``(..., 2 + k)`` initial parameters.
+      ``(..., n_params)`` initial parameters (= linear + k shape columns).
     """
     spec = MODELS[model]
     n_lin = spec.linear              # 2 for (kd, ks) lobes, 1 for diffuse-only

@@ -124,3 +124,22 @@ def test_render_pixels_engine_parity():
     a = render_pixels("cook_torrance", params, pts, nrm, eye, lights, engine="xla")
     b = render_pixels("cook_torrance", params, pts, nrm, eye, lights, engine="pallas")
     np.testing.assert_allclose(a, b, rtol=3e-5, atol=1e-6)
+
+
+def test_large_view_count_shrinks_block():
+    """Hundreds of lights must auto-shrink the texel block to fit the VMEM
+    budget instead of overflowing (CLAUDE.md kernel rule); result unchanged."""
+    params, ang = make_case("cook_torrance", t=300, v=600, seed=21)
+    got = shade_pallas("cook_torrance", params, ang)
+    want = MODELS["cook_torrance"].fn(params, ang)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_render_pixels_rejects_unknown_engine():
+    from brdf_tpu.pipeline.render import render_pixels
+
+    with pytest.raises(ValueError, match="unknown shading engine"):
+        render_pixels(
+            "blinn_phong", jnp.zeros((4, 3, 3)), jnp.zeros((4, 3)),
+            jnp.ones((4, 3)), jnp.ones(3), jnp.ones((2, 3)), engine="Pallas",
+        )
