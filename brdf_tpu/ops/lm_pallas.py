@@ -10,13 +10,20 @@ redesigned for the TPU memory hierarchy:
   over-views reduction is dense VPU work.
 - **Whole solve in VMEM**: a grid block loads its texels' angles/targets once
   (≈100 KB for V=16, TB=1024), then runs the *entire* LM iteration loop —
-  shading model, analytic Jacobian, JᵀJ/Jᵀe reductions, damped 3×3 solve by
-  Cramer's rule, box projection, Nielsen μ-control, convergence tests — with
-  zero HBM traffic per iteration. (The lax.while_loop formulation in
-  ``solver/lm.py`` re-streams loop state through HBM every iteration.)
-- **Analytic derivatives**: the 3-parameter lobes differentiate by hand (the
-  ``ln s·sⁿ`` chain), so one iteration costs ~2 model evaluations — levmar's
-  finite-difference path cost m+1 = 4 (``misc_core.c:137-172``).
+  shading model, analytic Jacobian, JᵀJ/Jᵀe reductions, damped m×m solve,
+  box projection, Nielsen μ-control, convergence tests — with zero HBM
+  traffic per iteration. (The lax.while_loop formulation in ``solver/lm.py``
+  re-streams loop state through HBM every iteration.)
+- **Analytic derivatives**: the lobe evaluations and their hand-derived
+  parameter partials are shared with the shading kernel
+  (``ops/shading_pallas.py::SHADING_KERNELS`` — one derivation, two kernels;
+  the angle partials those evals also produce are dead code here and the
+  compiler eliminates them). One iteration costs ~2 model evaluations —
+  levmar's finite-difference path cost m+1 (``misc_core.c:137-172``).
+- **Any registry lobe, m ∈ {1..4}**: the damped normal equations solve by
+  closed form per size — scalar, 2×2/3×3 Cramer, 4×4 Cholesky — so the
+  fused path covers every model in ``models/brdf.py`` including the
+  4-parameter Cook-Torrance+Fresnel and the diffuse-only family.
 - **Per-lane control flow**: each texel's accept/reject/damping state is a
   lane; the block iterates until all its lanes converge (`while_loop` with a
   scalar any-active condition). No ragged control flow, no wasted jacfwd.
@@ -40,105 +47,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from brdf_tpu.models.brdf import ShadingAngles
+from brdf_tpu.ops.shading_pallas import SHADING_KERNELS, ShadingKernelSpec
 from brdf_tpu.solver.lm import LMOptions, StopReason
 
 _EPS = 1e-12
 
+# Every registry lobe fits the fused path (m ≤ 4). Kept as the membership
+# check parallel/fit.py's engine="auto" keys off.
+PALLAS_MODELS: dict[str, ShadingKernelSpec] = dict(SHADING_KERNELS)
 
-class PallasModel(NamedTuple):
-    name: str
-    angle_names: tuple[str, ...]   # which ShadingAngles channels the lobe reads
-    # eval(angles_tuple, kd, ks, shape) -> (I, dI/dkd, dI/dks, dI/dshape)
-    eval: object
-
-
-def _blinn_phong_eval(angles, kd, ks, n):
-    cl, cnh = angles
-    lit = cl > 0
-    diff_b = jnp.maximum(cl, 0.0)
-    s = jnp.maximum(cnh, _EPS)
-    ln_s = jnp.log(s)
-    spec_b = jnp.where(lit & (cnh > 0), jnp.exp(n * ln_s), 0.0)
-    i_val = kd * diff_b + ks * spec_b
-    d_n = ks * ln_s * spec_b
-    return i_val, diff_b, spec_b, d_n
-
-
-def _phong_eval(angles, kd, ks, n):
-    cl, crv = angles
-    lit = cl > 0
-    diff_b = jnp.maximum(cl, 0.0)
-    s = jnp.maximum(crv, _EPS)
-    ln_s = jnp.log(s)
-    pw = jnp.where(lit & (crv > 0), jnp.exp(n * ln_s), 0.0)
-    norm = (n + 2.0) / (2.0 * jnp.pi)
-    spec_b = norm * pw
-    i_val = kd * diff_b + ks * spec_b
-    # d/dn [ (n+2)/(2π) · sⁿ ] = sⁿ/(2π) + (n+2)/(2π)·ln s·sⁿ
-    d_n = ks * (pw / (2.0 * jnp.pi) + norm * ln_s * pw)
-    return i_val, diff_b, spec_b, d_n
-
-
-def _cook_torrance_eval(angles, kd, ks, rough):
-    cl, cnh, cvn = angles
-    nl = jnp.maximum(cl, 0.0)
-    nv = jnp.maximum(cvn, _EPS)
-    nh = jnp.maximum(cnh, 0.0)
-    r = jnp.maximum(rough, 1e-3)
-    a2 = (r * r) * (r * r)
-
-    u = nh * nh * (a2 - 1.0) + 1.0
-    u = jnp.maximum(u, _EPS)
-    d = a2 / (jnp.pi * u * u)
-    dd_da2 = (u - 2.0 * a2 * nh * nh) / (jnp.pi * u * u * u)
-
-    sv = jnp.sqrt(nv * nv * (1.0 - a2) + a2)
-    sl = jnp.sqrt(nl * nl * (1.0 - a2) + a2)
-    lam_v = nl * sv
-    lam_l = nv * sl
-    den = jnp.maximum(lam_v + lam_l, _EPS)
-    vis = 0.5 / den
-    dlam_v = nl * (1.0 - nv * nv) / (2.0 * jnp.maximum(sv, _EPS))
-    dlam_l = nv * (1.0 - nl * nl) / (2.0 * jnp.maximum(sl, _EPS))
-    dvis_da2 = -0.5 * (dlam_v + dlam_l) / (den * den)
-
-    lit = cl > 0
-    spec_core = jnp.where(lit, d * vis * nl, 0.0)
-    diff_b = nl / jnp.pi
-    i_val = kd * diff_b + ks * spec_core
-    dspec_da2 = jnp.where(lit, (dd_da2 * vis + d * dvis_da2) * nl, 0.0)
-    da2_dr = 4.0 * r * r * r
-    d_r = ks * dspec_da2 * da2_dr
-    return i_val, diff_b, spec_core, d_r
-
-
-def _ward_eval(angles, kd, ks, alpha):
-    cl, cnh, cvn = angles
-    nl = jnp.maximum(cl, 0.0)
-    nv = jnp.maximum(cvn, _EPS)
-    nh = jnp.maximum(cnh, 1e-4)       # floor matches models/brdf.py::ward
-    a = jnp.maximum(alpha, 1e-3)
-    a2 = a * a
-    tan2 = (1.0 - nh * nh) / (nh * nh)
-    lobe = jnp.exp(-tan2 / a2) / (4.0 * jnp.pi * a2)
-    lit = (cl > 0) & (cnh > 0) & (cvn > 0)
-    litf = lit.astype(cl.dtype)
-    diff_b = nl / jnp.pi
-    spec_b = jnp.sqrt(nl / nv) * lobe * litf
-    i_val = kd * diff_b + ks * spec_b
-    # d/dα [exp(−t/α²)/(4πα²)] = lobe·2(t − α²)/α³
-    d_a = ks * spec_b * 2.0 * (tan2 - a2) / (a2 * a) * (alpha > 1e-3)
-    return i_val, diff_b, spec_b, d_a
-
-
-PALLAS_MODELS: dict[str, PallasModel] = {
-    "blinn_phong": PallasModel("blinn_phong", ("cos_ln", "cos_nh"), _blinn_phong_eval),
-    "phong": PallasModel("phong", ("cos_ln", "cos_rv"), _phong_eval),
-    "cook_torrance": PallasModel(
-        "cook_torrance", ("cos_ln", "cos_nh", "cos_vn"), _cook_torrance_eval
-    ),
-    "ward": PallasModel("ward", ("cos_ln", "cos_nh", "cos_vn"), _ward_eval),
-}
+_TINY = 1e-30
 
 
 def _row_sum(x):
@@ -146,19 +64,92 @@ def _row_sum(x):
     return jnp.sum(x, axis=0, keepdims=True)
 
 
+def _solve_damped(af: dict, gf: list, m: int):
+    """Closed-form symmetric m×m solve ``dp = −Af⁻¹ gf`` per lane.
+
+    ``af[(j,k)]`` (j ≤ k) is the damped/frozen normal matrix, all (1, TB).
+    Returns (dp list, solver_ok mask). The damped system is SPD when healthy
+    (the same reasoning that makes levmar's Bunch-Kaufman pivoting moot on
+    this path — see docs/COMPONENTS.md N9), so Cholesky needs no pivoting.
+    """
+    if m == 1:
+        det = af[(0, 0)]
+        ok = jnp.abs(det) > _TINY
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        return [-gf[0] * inv], ok
+    if m == 2:
+        det = af[(0, 0)] * af[(1, 1)] - af[(0, 1)] * af[(0, 1)]
+        ok = jnp.abs(det) > _TINY
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        dp0 = -(af[(1, 1)] * gf[0] - af[(0, 1)] * gf[1]) * inv
+        dp1 = -(af[(0, 0)] * gf[1] - af[(0, 1)] * gf[0]) * inv
+        return [dp0, dp1], ok
+    if m == 3:
+        c00 = af[(1, 1)] * af[(2, 2)] - af[(1, 2)] * af[(1, 2)]
+        c01 = af[(0, 2)] * af[(1, 2)] - af[(0, 1)] * af[(2, 2)]
+        c02 = af[(0, 1)] * af[(1, 2)] - af[(0, 2)] * af[(1, 1)]
+        c11 = af[(0, 0)] * af[(2, 2)] - af[(0, 2)] * af[(0, 2)]
+        c12 = af[(0, 1)] * af[(0, 2)] - af[(0, 0)] * af[(1, 2)]
+        c22 = af[(0, 0)] * af[(1, 1)] - af[(0, 1)] * af[(0, 1)]
+        det = af[(0, 0)] * c00 + af[(0, 1)] * c01 + af[(0, 2)] * c02
+        ok = jnp.abs(det) > _TINY
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        dp = [
+            -(c00 * gf[0] + c01 * gf[1] + c02 * gf[2]) * inv,
+            -(c01 * gf[0] + c11 * gf[1] + c12 * gf[2]) * inv,
+            -(c02 * gf[0] + c12 * gf[1] + c22 * gf[2]) * inv,
+        ]
+        return dp, ok
+    if m == 4:
+        # Cholesky A = L Lᵀ, closed form; non-PD pivots flag the lane singular
+        def safe_sqrt(v):
+            return jnp.sqrt(jnp.maximum(v, _TINY))
+
+        v0 = af[(0, 0)]
+        l00 = safe_sqrt(v0)
+        l10 = af[(0, 1)] / l00
+        l20 = af[(0, 2)] / l00
+        l30 = af[(0, 3)] / l00
+        v1 = af[(1, 1)] - l10 * l10
+        l11 = safe_sqrt(v1)
+        l21 = (af[(1, 2)] - l20 * l10) / l11
+        l31 = (af[(1, 3)] - l30 * l10) / l11
+        v2 = af[(2, 2)] - l20 * l20 - l21 * l21
+        l22 = safe_sqrt(v2)
+        l32 = (af[(2, 3)] - l30 * l20 - l31 * l21) / l22
+        v3 = af[(3, 3)] - l30 * l30 - l31 * l31 - l32 * l32
+        l33 = safe_sqrt(v3)
+        ok = (v0 > _TINY) & (v1 > _TINY) & (v2 > _TINY) & (v3 > _TINY)
+        # forward: L y = −g
+        y0 = -gf[0] / l00
+        y1 = (-gf[1] - l10 * y0) / l11
+        y2 = (-gf[2] - l20 * y0 - l21 * y1) / l22
+        y3 = (-gf[3] - l30 * y0 - l31 * y1 - l32 * y2) / l33
+        # backward: Lᵀ dp = y
+        d3 = y3 / l33
+        d2 = (y2 - l32 * d3) / l22
+        d1 = (y1 - l21 * d2 - l31 * d3) / l11
+        d0 = (y0 - l10 * d1 - l20 * d2 - l30 * d3) / l00
+        okf = ok.astype(gf[0].dtype)
+        return [d0 * okf, d1 * okf, d2 * okf, d3 * okf], ok
+    raise ValueError(f"unsupported parameter count m={m}")
+
+
 def _lm_kernel(
     angles_ref,   # (A, V, TB)
     y_ref,        # (V, TB)
     w_ref,        # (V, TB)
-    p0_ref,       # (8, TB): rows 0..2 = kd, ks, shape
-    out_ref,      # (8, TB): rows 0..2 params, 3 chi2, 4 iters, 5 stop, 6 g_inf, 7 mu
+    p0_ref,       # (8, TB): rows 0..m-1 = params
+    out_ref,      # (16, TB): rows 0..3 params, 4 chi2, 5 iters, 6 stop,
+                  #           7 g_inf, 8 mu
     *,
-    model: PallasModel,
+    spec: ShadingKernelSpec,
     opts: LMOptions,
-    lower: tuple[float, float, float],
-    upper: tuple[float, float, float],
+    lower: tuple,
+    upper: tuple,
 ):
-    n_angles = len(model.angle_names)
+    m = spec.n_params
+    n_angles = len(spec.angle_names)
     angles = tuple(angles_ref[a] for a in range(n_angles))
     y = y_ref[...]
     w = w_ref[...]
@@ -167,13 +158,18 @@ def _lm_kernel(
     lb = [jnp.float32(b) for b in lower]
     ub = [jnp.float32(b) for b in upper]
 
-    def clip3(p):
-        return [jnp.clip(p[j], lb[j], ub[j]) for j in range(3)]
+    def clipm(p):
+        return [jnp.clip(p[j], lb[j], ub[j]) for j in range(m)]
 
-    p = clip3([p0_ref[0:1, :], p0_ref[1:2, :], p0_ref[2:3, :]])
+    def model_eval(p):
+        # d_angles is unused here; the compiler dead-code-eliminates it
+        i_val, d_params, _ = spec.eval(angles, tuple(p))
+        return i_val, list(d_params)
+
+    p = clipm([p0_ref[j : j + 1, :] for j in range(m)])
 
     def chi2_of(p):
-        i_val, _, _, _ = model.eval(angles, p[0], p[1], p[2])
+        i_val, _ = model_eval(p)
         r = (i_val - y) * w
         return _row_sum(r * r)
 
@@ -183,16 +179,15 @@ def _lm_kernel(
     # Carry is ONE packed (16, TB) array: a while_loop carry of many (1, TB)
     # values mixes splat-constant and reduction layouts, which Mosaic cannot
     # reconcile ("Not implemented: Sublane broadcast"); a single packed buffer
-    # keeps one layout. Rows: 0-2 params, 3 chi2, 4 mu, 5 nu, 6 iters,
-    # 7 stop, 8 g_inf, 9-15 unused.
-    R_P0, R_P1, R_P2, R_CHI2, R_MU, R_NU, R_IT, R_STOP, R_GINF = range(9)
+    # keeps one layout. Rows: 0-3 params, then the scalar-per-lane states.
+    R_CHI2, R_MU, R_NU, R_IT, R_STOP, R_GINF = 4, 5, 6, 7, 8, 9
 
     def pack(rows: dict):
         parts = [rows.get(i, zero) for i in range(16)]
         return jnp.concatenate(parts, axis=0)
 
     state = pack({
-        R_P0: p[0], R_P1: p[1], R_P2: p[2],
+        **{j: p[j] for j in range(m)},
         R_CHI2: chi2,
         R_NU: zero + 2.0,
         R_STOP: jnp.where(
@@ -217,80 +212,67 @@ def _lm_kernel(
         return jnp.any(active_of(s))
 
     def body(s):
-        p = [row(s, R_P0), row(s, R_P1), row(s, R_P2)]
-        i_val, d0, d1, d2 = model.eval(angles, p[0], p[1], p[2])
+        p = [row(s, j) for j in range(m)]
+        i_val, d = model_eval(p)
         r = (i_val - y) * w
-        d = [d0, d1, d2]
 
         # normal equations (weights fold in once via w²)
         a = {}
-        for j in range(3):
-            for k in range(j, 3):
+        for j in range(m):
+            for k in range(j, m):
                 a[(j, k)] = _row_sum(d[j] * d[k] * w2)
-        g = [_row_sum(d[j] * r * w) for j in range(3)]
+        g = [_row_sum(d[j] * r * w) for j in range(m)]
 
         # projected-gradient convergence measure
-        pg = [p[j] - jnp.clip(p[j] - g[j], lb[j], ub[j]) for j in range(3)]
-        g_inf = jnp.maximum(jnp.maximum(jnp.abs(pg[0]), jnp.abs(pg[1])), jnp.abs(pg[2]))
+        pg = [p[j] - jnp.clip(p[j] - g[j], lb[j], ub[j]) for j in range(m)]
+        g_inf = functools.reduce(jnp.maximum, [jnp.abs(x) for x in pg])
         grad_conv = g_inf <= eps1
 
         mu = jnp.where(
             row(s, R_IT) == 0.0,
-            tau * jnp.maximum(jnp.maximum(a[(0, 0)], a[(1, 1)]), a[(2, 2)]),
+            tau * functools.reduce(jnp.maximum, [a[(j, j)] for j in range(m)]),
             row(s, R_MU),
         )
 
         # active-set freeze of bound-stuck coordinates
         frozen = [
             ((p[j] <= lb[j]) & (g[j] > 0)) | ((p[j] >= ub[j]) & (g[j] < 0))
-            for j in range(3)
+            for j in range(m)
         ]
-        free = [jnp.where(frozen[j], 0.0, 1.0) for j in range(3)]
+        free = [jnp.where(frozen[j], 0.0, 1.0) for j in range(m)]
         af = {}
-        for j in range(3):
+        for j in range(m):
             af[(j, j)] = jnp.where(frozen[j], 1.0, a[(j, j)] + mu)
-        for j in range(3):
-            for k in range(j + 1, 3):
+        for j in range(m):
+            for k in range(j + 1, m):
                 af[(j, k)] = a[(j, k)] * free[j] * free[k]
-        gf = [g[j] * free[j] for j in range(3)]
+        gf = [g[j] * free[j] for j in range(m)]
 
-        # Cramer 3×3 symmetric solve: dp = -Af⁻¹ gf
-        c00 = af[(1, 1)] * af[(2, 2)] - af[(1, 2)] * af[(1, 2)]
-        c01 = af[(0, 2)] * af[(1, 2)] - af[(0, 1)] * af[(2, 2)]
-        c02 = af[(0, 1)] * af[(1, 2)] - af[(0, 2)] * af[(1, 1)]
-        c11 = af[(0, 0)] * af[(2, 2)] - af[(0, 2)] * af[(0, 2)]
-        c12 = af[(0, 1)] * af[(0, 2)] - af[(0, 0)] * af[(1, 2)]
-        c22 = af[(0, 0)] * af[(1, 1)] - af[(0, 1)] * af[(0, 1)]
-        det = af[(0, 0)] * c00 + af[(0, 1)] * c01 + af[(0, 2)] * c02
-        inv_det = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
-        solver_ok = jnp.abs(det) > 1e-30
-        dp = [
-            -(c00 * gf[0] + c01 * gf[1] + c02 * gf[2]) * inv_det,
-            -(c01 * gf[0] + c11 * gf[1] + c12 * gf[2]) * inv_det,
-            -(c02 * gf[0] + c12 * gf[1] + c22 * gf[2]) * inv_det,
-        ]
+        dp, solver_ok = _solve_damped(af, gf, m)
 
-        pn = [jnp.clip(p[j] + dp[j], lb[j], ub[j]) for j in range(3)]
-        dpa = [pn[j] - p[j] for j in range(3)]
-        dp_nrm2 = dpa[0] ** 2 + dpa[1] ** 2 + dpa[2] ** 2
-        p_nrm2 = p[0] ** 2 + p[1] ** 2 + p[2] ** 2
+        pn = [jnp.clip(p[j] + dp[j], lb[j], ub[j]) for j in range(m)]
+        dpa = [pn[j] - p[j] for j in range(m)]
+        dp_nrm2 = sum(x * x for x in dpa)
+        p_nrm2 = sum(x * x for x in p)
         small_dp = dp_nrm2 <= eps2_sq * p_nrm2
 
         chi2_new = chi2_of(pn)
         finite = jnp.isfinite(chi2_new)
         df = row(s, R_CHI2) - chi2_new
+
         # predicted reduction −(2 gᵀδ + δᵀ JᵀJ δ) with the *unfrozen* system
+        def a_full(j, k):
+            return a[(j, k)] if j <= k else a[(k, j)]
+
         q = [
-            a[(0, 0)] * dpa[0] + a[(0, 1)] * dpa[1] + a[(0, 2)] * dpa[2],
-            a[(0, 1)] * dpa[0] + a[(1, 1)] * dpa[1] + a[(1, 2)] * dpa[2],
-            a[(0, 2)] * dpa[0] + a[(1, 2)] * dpa[1] + a[(2, 2)] * dpa[2],
+            sum(a_full(j, k) * dpa[k] for k in range(m)) for j in range(m)
         ]
-        g_dot = g[0] * dpa[0] + g[1] * dpa[1] + g[2] * dpa[2]
-        q_dot = dpa[0] * q[0] + dpa[1] * q[1] + dpa[2] * q[2]
+        g_dot = sum(g[j] * dpa[j] for j in range(m))
+        q_dot = sum(dpa[j] * q[j] for j in range(m))
         dl = -(2.0 * g_dot + q_dot)
 
         accept = solver_ok & finite & (df > 0)
-        rho = jnp.where(dl > 0, df / jnp.maximum(dl, 1e-30), 1.0)
+        rho = jnp.where(dl > 0, df / jnp.maximum(dl, _TINY), 1.0)
         tmp = 2.0 * rho - 1.0
         nu = row(s, R_NU)
         mu_next = jnp.where(
@@ -314,9 +296,7 @@ def _lm_kernel(
         act = active_of(s)
         keep = lambda new, old: jnp.where(act, new, old)
         return pack({
-            R_P0: keep(jnp.where(accept, pn[0], p[0]), p[0]),
-            R_P1: keep(jnp.where(accept, pn[1], p[1]), p[1]),
-            R_P2: keep(jnp.where(accept, pn[2], p[2]), p[2]),
+            **{j: keep(jnp.where(accept, pn[j], p[j]), p[j]) for j in range(m)},
             R_CHI2: keep(chi2_sel, row(s, R_CHI2)),
             R_MU: keep(mu_next, row(s, R_MU)),
             R_NU: keep(nu_next, nu),
@@ -332,18 +312,20 @@ def _lm_kernel(
         float(StopReason.MAX_ITERATIONS),
         row(final, R_STOP),
     )
-    out_ref[0:1, :] = row(final, R_P0)
-    out_ref[1:2, :] = row(final, R_P1)
-    out_ref[2:3, :] = row(final, R_P2)
-    out_ref[3:4, :] = row(final, R_CHI2)
-    out_ref[4:5, :] = row(final, R_IT)
-    out_ref[5:6, :] = stop_out
-    out_ref[6:7, :] = row(final, R_GINF)
-    out_ref[7:8, :] = row(final, R_MU)
+    zero_row = jnp.zeros_like(zero)
+    for j in range(4):
+        out_ref[j : j + 1, :] = row(final, j) if j < m else zero_row
+    out_ref[4:5, :] = row(final, R_CHI2)
+    out_ref[5:6, :] = row(final, R_IT)
+    out_ref[6:7, :] = stop_out
+    out_ref[7:8, :] = row(final, R_GINF)
+    out_ref[8:9, :] = row(final, R_MU)
+    for j in range(9, 16):
+        out_ref[j : j + 1, :] = zero_row
 
 
 class PallasFitResult(NamedTuple):
-    p: jnp.ndarray       # (T, 3)
+    p: jnp.ndarray       # (T, m)
     chi2: jnp.ndarray    # (T,)
     iters: jnp.ndarray   # (T,) float32
     stop: jnp.ndarray    # (T,) int32
@@ -359,7 +341,7 @@ def lm_fit_pallas(
     model: str,
     angles: ShadingAngles,
     target: jnp.ndarray,     # (T, V)
-    p0: jnp.ndarray,         # (T, 3)
+    p0: jnp.ndarray,         # (T, m)
     weights: jnp.ndarray | None = None,
     opts: LMOptions = LMOptions(eps1=1e-6, eps2=1e-7, eps3=1e-12, itmax=30),
     lower: tuple = (0.0, 0.0, 0.0),
@@ -367,13 +349,17 @@ def lm_fit_pallas(
     block_t: int = 1024,
     interpret: bool = False,
 ) -> PallasFitResult:
-    """Fit T independent 3-parameter lobes, one VMEM-resident block at a time.
+    """Fit T independent m-parameter lobes, one VMEM-resident block at a time.
 
     Public layout is texel-major (T, V) to match the rest of the framework;
     the wrapper transposes to the kernel's views-major layout and pads T to
     the block size (padded lanes get zero weights and converge immediately).
+    ``lower``/``upper`` must have the model's parameter count.
     """
     spec = PALLAS_MODELS[model]
+    m = spec.n_params
+    if len(lower) != m or len(upper) != m:
+        raise ValueError(f"{model} has {m} params; got bounds {lower}/{upper}")
     t, v = target.shape
     if weights is None:
         weights = jnp.ones_like(target)
@@ -390,12 +376,12 @@ def lm_fit_pallas(
     )  # (A, V, Tp)
     y = prep(target)
     w = prep(weights)
-    p0_pad = jnp.pad(p0.T, ((0, 5), (0, pad)))     # (8, Tp)
+    p0_pad = jnp.pad(p0.T, ((0, 8 - m), (0, pad)))     # (8, Tp)
 
     a = len(spec.angle_names)
     grid = (tp // block_t,)
     kernel = functools.partial(
-        _lm_kernel, model=spec, opts=opts, lower=tuple(lower), upper=tuple(upper)
+        _lm_kernel, spec=spec, opts=opts, lower=tuple(lower), upper=tuple(upper)
     )
     out = pl.pallas_call(
         kernel,
@@ -406,17 +392,17 @@ def lm_fit_pallas(
             pl.BlockSpec((v, block_t), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, block_t), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, block_t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, tp), jnp.float32),
+        out_specs=pl.BlockSpec((16, block_t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, tp), jnp.float32),
         interpret=interpret,
     )(ang_stack, y, w, p0_pad)
 
     out = out[:, :t]
     return PallasFitResult(
-        p=out[0:3].T,
-        chi2=out[3],
-        iters=out[4],
-        stop=out[5].astype(jnp.int32),
-        g_inf=out[6],
-        mu=out[7],
+        p=out[0:m].T,
+        chi2=out[4],
+        iters=out[5],
+        stop=out[6].astype(jnp.int32),
+        g_inf=out[7],
+        mu=out[8],
     )

@@ -3,7 +3,9 @@
 Gate (BASELINE acceptance): the kernel's converged fits must match the
 float64-validated `solver.lm` path — same data, same starts — in final χ² and
 parameters on identifiable texels, and its analytic derivatives must match
-autodiff."""
+autodiff. The kernel now covers every registry lobe (m ∈ {1..4}), so the
+parametrization spans the scalar, 2×2/3×3 Cramer and 4×4 Cholesky solves.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -18,6 +20,28 @@ from brdf_tpu.solver.lm import LMOptions, levmar_bc
 OPTS = LMOptions(eps1=1e-6, eps2=1e-7, eps3=1e-12, itmax=40)
 
 
+def _sample(model, rng, t):
+    """True parameters inside the model's box, away from edges."""
+    if model in ("phong", "blinn_phong"):
+        cols = [rng.uniform(0.1, 0.9, t), rng.uniform(0.2, 1.0, t),
+                rng.uniform(2.0, 25.0, t)]
+    elif model in ("cook_torrance", "ward"):
+        cols = [rng.uniform(0.1, 0.9, t), rng.uniform(0.2, 1.0, t),
+                rng.uniform(0.15, 0.9, t)]
+    elif model == "cook_torrance_fresnel":
+        cols = [rng.uniform(0.1, 0.9, t), rng.uniform(0.2, 1.0, t),
+                rng.uniform(0.15, 0.9, t), rng.uniform(0.2, 0.9, t)]
+    elif model == "oren_nayar":
+        cols = [rng.uniform(0.2, 1.0, t), rng.uniform(0.2, 1.2, t)]
+    elif model == "minnaert":
+        cols = [rng.uniform(0.2, 1.0, t), rng.uniform(0.5, 2.0, t)]
+    elif model == "lambert":
+        cols = [rng.uniform(0.2, 1.0, t)]
+    else:
+        raise ValueError(model)
+    return np.stack(cols, -1).astype(np.float32)
+
+
 def _problem(model, t=256, v=16, seed=0):
     rng = np.random.default_rng(seed)
     ang = ShadingAngles(
@@ -26,49 +50,37 @@ def _problem(model, t=256, v=16, seed=0):
         cos_rv=jnp.asarray(rng.uniform(-1, 1, (t, v)), jnp.float32),
         cos_vn=jnp.asarray(rng.uniform(0.1, 1, (t, v)), jnp.float32),
     )
-    if model in ("cook_torrance", "ward"):   # bounded shape param in (0, 1]
-        true_p = np.stack(
-            [rng.uniform(0.1, 0.9, t), rng.uniform(0.2, 1.0, t), rng.uniform(0.15, 0.9, t)],
-            -1,
-        ).astype(np.float32)
-    else:
-        true_p = np.stack(
-            [rng.uniform(0.1, 0.9, t), rng.uniform(0.2, 1.0, t), rng.uniform(2, 25, t)],
-            -1,
-        ).astype(np.float32)
+    true_p = _sample(model, rng, t)
     target = MODELS[model].fn(jnp.asarray(true_p), ang)
     return ang, target, true_p
 
 
-@pytest.mark.parametrize("model", list(PALLAS_MODELS))
+@pytest.mark.parametrize("model", sorted(PALLAS_MODELS))
 def test_analytic_derivatives_match_autodiff(model):
-    """The kernel's hand-derived (I, dI/dp) must equal jacfwd of the jnp lobe."""
+    """The kernel's hand-derived (I, dI/dp) must equal jacfwd of the jnp lobe
+    — the chkjac-style gate, per parameter column."""
     spec = PALLAS_MODELS[model]
     mspec = MODELS[model]
-    rng = np.random.default_rng(1)
     t, v = 64, 8
     ang, _, true_p = _problem(model, t, v, seed=1)
     angs = tuple(getattr(ang, n) for n in spec.angle_names)
-    kd = jnp.asarray(true_p[:, 0:1])
-    ks = jnp.asarray(true_p[:, 1:2])
-    sh = jnp.asarray(true_p[:, 2:3])
-    i_val, d_kd, d_ks, d_sh = spec.eval(angs, kd, ks, sh)
+    params = tuple(jnp.asarray(true_p[:, j : j + 1]) for j in range(spec.n_params))
+    i_val, d_params, _ = spec.eval(angs, params)
 
     i_ref = mspec.fn(jnp.asarray(true_p), ang)
     np.testing.assert_allclose(np.asarray(i_val), np.asarray(i_ref), rtol=2e-5, atol=1e-6)
 
-    def per_texel(p, a):
-        return mspec.fn(p, a)
+    jac = jax.vmap(jax.jacfwd(lambda p, a: mspec.fn(p, a)))(
+        jnp.asarray(true_p), ang
+    )  # (T, V, m)
+    for j in range(spec.n_params):
+        np.testing.assert_allclose(
+            np.asarray(d_params[j]), np.asarray(jac[..., j]),
+            rtol=2e-3, atol=2e-4, err_msg=f"{model} dI/dp{j}",
+        )
 
-    jac = jax.vmap(jax.jacfwd(per_texel))(
-        jnp.asarray(true_p), jax.tree.map(lambda x: x, ang)
-    )  # (T, V, 3)
-    np.testing.assert_allclose(np.asarray(d_kd), np.asarray(jac[..., 0]), rtol=2e-4, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(d_ks), np.asarray(jac[..., 1]), rtol=2e-4, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(jac[..., 2]), rtol=2e-3, atol=2e-4)
 
-
-@pytest.mark.parametrize("model", list(PALLAS_MODELS))
+@pytest.mark.parametrize("model", sorted(PALLAS_MODELS))
 def test_pallas_fit_matches_solver(model):
     ang, target, true_p = _problem(model)
     spec = MODELS[model]
@@ -90,8 +102,10 @@ def test_pallas_fit_matches_solver(model):
 
     chi2_p = np.asarray(res_pallas.chi2)
     chi2_r = np.asarray(res_ref.chi2)
-    # both reach the (same) noise floor on nearly all texels
-    assert np.median(chi2_p) < 1e-9
+    # both reach the (same) noise floor on nearly all texels (the floor
+    # itself is the reference solver's — e.g. the 4-param fresnel lobe
+    # bottoms out near 6e-9 in f32, not 1e-9)
+    assert np.median(chi2_p) < max(np.median(chi2_r) * 10, 1e-9)
     assert (chi2_p < np.maximum(chi2_r * 10, 1e-8)).mean() > 0.9
     # parameters agree where the reference solver itself found the truth
     ref_found = (
@@ -102,6 +116,7 @@ def test_pallas_fit_matches_solver(model):
         np.abs(np.asarray(res_pallas.p) - true_p)
         / np.maximum(np.abs(true_p), 1e-3)
     ).max(-1)
+    assert ref_found.sum() > 20, "generator produced no identifiable texels"
     assert (pal_err[ref_found] < 2e-2).mean() > 0.9
 
 
@@ -126,3 +141,12 @@ def test_padding_and_weights():
     # same optimization problem (masked vs truncated); compare χ² quality
     assert np.median(np.asarray(res.chi2)) < 1e-9
     assert np.median(np.asarray(res_t.chi2)) < 1e-9
+
+
+def test_bounds_arity_checked():
+    ang, target, _ = _problem("lambert", t=16, v=8, seed=5)
+    p0 = jnp.full((16, 1), 0.5, jnp.float32)
+    with pytest.raises(ValueError, match="params"):
+        lm_fit_pallas("lambert", ang, target, p0,
+                      lower=(0.0, 0.0, 0.0), upper=(1.0, 1.0, 1.0),
+                      interpret=True)
