@@ -95,3 +95,33 @@ def test_weights_mask_measurements():
     np.testing.assert_allclose(
         np.asarray(res_masked.p), np.asarray(res_trunc.p), rtol=1e-6, atol=1e-7
     )
+
+
+def test_sharded_fit_covers_all_param_counts():
+    """The sharded fit path must handle every registry parameter count
+    (m=1,2,3,4) now that the fused tier is generic."""
+    import numpy as np
+    from brdf_tpu.models.brdf import MODELS, ShadingAngles
+    from brdf_tpu.parallel.fit import fit_texels_sharded
+    from brdf_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    t, v = 256, 16
+    ang = ShadingAngles(
+        *[jnp.asarray(rng.uniform(0.05, 1, (t, v)), jnp.float32) for _ in range(4)]
+    )
+    cases = {
+        "lambert": [(0.2, 1.0)],
+        "oren_nayar": [(0.2, 1.0), (0.2, 1.2)],
+        "blinn_phong": [(0.1, 0.9), (0.2, 1.0), (2.0, 25.0)],
+        "cook_torrance_fresnel": [(0.1, 0.9), (0.2, 1.0), (0.15, 0.9), (0.2, 0.9)],
+    }
+    mesh = make_mesh()
+    for model, ranges in cases.items():
+        tp = jnp.asarray(
+            np.stack([rng.uniform(a, b, t) for a, b in ranges], -1), jnp.float32
+        )
+        y = MODELS[model].fn(tp, ang)
+        res = fit_texels_sharded(model, ang, y, mesh)
+        med = float(jnp.median(res.chi2))
+        assert med < 1e-6, (model, med)
