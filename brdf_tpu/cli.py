@@ -64,7 +64,10 @@ def cmd_fit(args) -> int:
         cfg = FitConfig(
             scene=SceneConfig(scene_dir=args.scene),
             model=ModelConfig(model=args.model),
-            solver=SolverConfig(),
+            solver=SolverConfig(
+                engine=args.engine,
+                robust=args.robust if args.robust != "none" else None,
+            ),
         )
     out = args.out or f"runs/{cfg.name}"
     os.makedirs(out, exist_ok=True)
@@ -310,6 +313,11 @@ def main(argv=None) -> int:
     f.add_argument("--config")
     f.add_argument("--scene")
     f.add_argument("--model", default="blinn_phong")
+    f.add_argument("--engine", default="auto", choices=["auto", "pallas", "xla"],
+                   help="solver tier for ad-hoc --scene fits (presets carry their own)")
+    f.add_argument("--robust", default="none",
+                   choices=["none", "huber", "cauchy", "tukey"],
+                   help="IRLS robust reweighting for ad-hoc --scene fits")
     f.add_argument("--out")
     f.add_argument("--chunk-iters", type=int, default=0, dest="chunk_iters",
                    help="checkpoint solver state every N outer iterations "
