@@ -23,6 +23,7 @@ over texels), whole-image rendering, and float64 reference evaluation.
 
 from __future__ import annotations
 
+import math
 from typing import Callable, NamedTuple
 
 import jax.numpy as jnp
@@ -44,12 +45,29 @@ class ShadingGeometry(NamedTuple):
 
 
 class ShadingAngles(NamedTuple):
-    """Cosine terms for each (texel, light) pair; all (..., V)."""
+    """Cosine terms for each (texel, light) pair; all (..., V).
+
+    The last six channels are the tangent-frame components needed by the
+    anisotropic lobes (``ward_aniso`` / ``cook_torrance_aniso``). They are
+    ``None`` unless the angles were built with ``tangent_frame=True`` — the
+    isotropic lobes never read them, and ``None`` pytree leaves cost nothing
+    under ``jit``/``vmap``/``shard_map``. The frame is the canonical
+    per-normal basis of :func:`brdf_tpu.models.normalmap.tangent_basis`;
+    anisotropic lobes carry an in-plane rotation parameter ``phi`` that
+    orients the material's principal axes inside that frame, so no per-texel
+    UV tangents are required (and the rotation itself is fittable).
+    """
 
     cos_ln: jnp.ndarray  # N·L   (the reference's phi, GetCosLN)
     cos_nh: jnp.ndarray  # N·H   (the reference's theta', GetCosNH)
     cos_rv: jnp.ndarray  # R·V   (the reference's theta, GetCosRV — fixed)
     cos_vn: jnp.ndarray  # N·V   (needed by Cook-Torrance; not in reference)
+    cos_th: jnp.ndarray | None = None  # T·H
+    cos_bh: jnp.ndarray | None = None  # B·H
+    cos_tl: jnp.ndarray | None = None  # T·L
+    cos_bl: jnp.ndarray | None = None  # B·L
+    cos_tv: jnp.ndarray | None = None  # T·V
+    cos_bv: jnp.ndarray | None = None  # B·V
 
 
 def _normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
@@ -71,7 +89,9 @@ def shading_geometry(
     return ShadingGeometry(n=normals, l=l, v=v)
 
 
-def angles_from_geometry(geom: ShadingGeometry) -> ShadingAngles:
+def angles_from_geometry(
+    geom: ShadingGeometry, tangent_frame: bool = False
+) -> ShadingAngles:
     n = geom.n[..., None, :]                                  # (..., 1, 3)
     cos_ln = jnp.sum(n * geom.l, axis=-1)
     h = _normalize(geom.l + geom.v)
@@ -80,13 +100,32 @@ def angles_from_geometry(geom: ShadingGeometry) -> ShadingAngles:
     r = 2.0 * cos_ln[..., None] * n - geom.l
     cos_rv = jnp.sum(r * geom.v, axis=-1)
     cos_vn = jnp.sum(n * geom.v, axis=-1)
-    return ShadingAngles(cos_ln=cos_ln, cos_nh=cos_nh, cos_rv=cos_rv, cos_vn=cos_vn)
+    ext = {}
+    if tangent_frame:
+        from brdf_tpu.models.normalmap import tangent_basis
+
+        t, b = tangent_basis(geom.n)
+        t = t[..., None, :]
+        b = b[..., None, :]
+        ext = dict(
+            cos_th=jnp.sum(t * h, axis=-1), cos_bh=jnp.sum(b * h, axis=-1),
+            cos_tl=jnp.sum(t * geom.l, axis=-1), cos_bl=jnp.sum(b * geom.l, axis=-1),
+            cos_tv=jnp.sum(t * geom.v, axis=-1), cos_bv=jnp.sum(b * geom.v, axis=-1),
+        )
+    return ShadingAngles(
+        cos_ln=cos_ln, cos_nh=cos_nh, cos_rv=cos_rv, cos_vn=cos_vn, **ext
+    )
 
 
-def shading_angles(points, normals, eye, lights) -> ShadingAngles:
+def shading_angles(points, normals, eye, lights, tangent_frame: bool = False) -> ShadingAngles:
     """Cosine terms for every (texel, light) pair — the batched, corrected
-    analogue of the reference's per-surface loops at ``brdfdata.cpp:799-943``."""
-    return angles_from_geometry(shading_geometry(points, normals, eye, lights))
+    analogue of the reference's per-surface loops at ``brdfdata.cpp:799-943``.
+
+    ``tangent_frame=True`` additionally fills the tangent-frame channels the
+    anisotropic lobes need (see :class:`ShadingAngles`)."""
+    return angles_from_geometry(
+        shading_geometry(points, normals, eye, lights), tangent_frame=tangent_frame
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -270,6 +309,118 @@ def minnaert(params: jnp.ndarray, angles: ShadingAngles) -> jnp.ndarray:
     return kd * _safe_pow(nl, k) * _safe_pow(nv, k - 1.0) * lit
 
 
+def _rotated_tangent_components(params_phi: jnp.ndarray, ct, cb):
+    """Rotate tangent-frame components (·T, ·B) by the lobe's in-plane
+    orientation φ: components along the material's principal axes."""
+    c = jnp.cos(params_phi)
+    s = jnp.sin(params_phi)
+    return c * ct + s * cb, -s * ct + c * cb
+
+
+def _require_tangent(angles: ShadingAngles, model: str) -> None:
+    if angles.cos_th is None:
+        raise ValueError(
+            f"model {model!r} needs tangent-frame angle channels; build the "
+            "angles with shading_angles(..., tangent_frame=True) or "
+            "angles_from_geometry(geom, tangent_frame=True)"
+        )
+
+
+def ward_aniso(params: jnp.ndarray, angles: ShadingAngles) -> jnp.ndarray:
+    """Anisotropic Ward gloss (Walter's normalization), params
+    ``(kd, ks, alpha_x, alpha_y, phi)``:
+
+    ``I = kd/π·⟨N·L⟩ + ks·√(⟨N·L⟩/⟨N·V⟩)·exp(−(hₜ²/αₓ² + h_b²/α_y²)/h_n²)/(4π αₓ α_y)``
+
+    with ``(hₜ, h_b)`` the half vector's components along the material's
+    principal axes — the canonical per-normal tangent frame rotated in-plane
+    by ``phi`` (so the anisotropy orientation is itself a fitted parameter;
+    period π). ``alpha_x = alpha_y`` reduces exactly to :func:`ward`.
+    Extension lobe (brushed metal / satin); no reference counterpart.
+    """
+    _require_tangent(angles, "ward_aniso")
+    kd = params[..., 0:1]
+    ks = params[..., 1:2]
+    ax = jnp.maximum(params[..., 2:3], 1e-3)
+    ay = jnp.maximum(params[..., 3:4], 1e-3)
+    phi = params[..., 4:5]
+
+    nl = jnp.maximum(angles.cos_ln, 0.0)
+    nv = jnp.maximum(angles.cos_vn, _EPS)
+    lit = (angles.cos_ln > 0) & (angles.cos_nh > 0) & (angles.cos_vn > 0)
+    nh = jnp.maximum(jnp.where(lit, angles.cos_nh, 1.0), 1e-4)
+    ht, hb = _rotated_tangent_components(phi, angles.cos_th, angles.cos_bh)
+    # tan²δ decomposed on the principal axes: (ht²/ax² + hb²/ay²)/nh².
+    # Masked components keep autodiff finite exactly like the isotropic lobe
+    # (−2/nh³ slope at the clamp must not leak through the dead branch).
+    ht = jnp.where(lit, ht, 0.0)
+    hb = jnp.where(lit, hb, 0.0)
+    expo = ((ht / ax) ** 2 + (hb / ay) ** 2) / (nh * nh)
+    lobe = jnp.exp(-expo) / (4.0 * jnp.pi * ax * ay)
+    rt = jnp.sqrt(jnp.where(lit, nl, 1.0) / nv)
+    spec = ks * jnp.where(lit, rt * lobe, 0.0)
+    return kd / jnp.pi * nl + spec
+
+
+def cook_torrance_aniso(params: jnp.ndarray, angles: ShadingAngles) -> jnp.ndarray:
+    """Anisotropic Cook-Torrance, params ``(kd, ks, rough_x, rough_y, phi)``:
+    anisotropic GGX distribution + height-correlated anisotropic Smith
+    visibility (Heitz 2014), with the Disney ``α = roughness²`` remap so that
+    ``rough_x = rough_y`` reduces *exactly* to :func:`cook_torrance`.
+
+    ``D = 1/(π αₓ α_y ((hₜ/αₓ)² + (h_b/α_y)² + h_n²)²)``;
+    ``V = 0.5/(Λ̂_V + Λ̂_L)`` with
+    ``Λ̂_V = ⟨N·L⟩·√(αₓ² vₜ² + α_y² v_b² + ⟨N·V⟩²)`` (and symmetrically for L).
+    ``phi`` rotates the principal axes in the canonical tangent plane
+    (period π). The specular term is strictly horizon-masked
+    (``N·L, N·V, N·H > 0``): the tangent-plane decomposition only equals the
+    isotropic form on the physical domain (unit-vector identity
+    ``t² + b² + n² = 1`` breaks once a cosine is clamped), and back-facing
+    view/half configurations carry no radiometric meaning anyway — the
+    isotropic lobe's clamped evaluation there is a legacy of its
+    cosine-only parameterization, not physics. Extension lobe; no reference
+    counterpart.
+    """
+    _require_tangent(angles, "cook_torrance_aniso")
+    kd = params[..., 0:1]
+    ks = params[..., 1:2]
+    ax = jnp.maximum(params[..., 2:3], 1e-3) ** 2     # Disney remap α = r²
+    ay = jnp.maximum(params[..., 3:4], 1e-3) ** 2
+    phi = params[..., 4:5]
+
+    lit = (angles.cos_ln > 0) & (angles.cos_vn > 0) & (angles.cos_nh > 0)
+    nl = jnp.maximum(angles.cos_ln, 0.0)
+    nv = jnp.where(lit, jnp.maximum(angles.cos_vn, _EPS), 1.0)
+    nh = jnp.where(lit, angles.cos_nh, 1.0)
+    # dead-branch components zeroed so no masked-region gradients leak
+    ht, hb = _rotated_tangent_components(phi, angles.cos_th, angles.cos_bh)
+    lt, lb = _rotated_tangent_components(phi, angles.cos_tl, angles.cos_bl)
+    vt, vb = _rotated_tangent_components(phi, angles.cos_tv, angles.cos_bv)
+    ht = jnp.where(lit, ht, 0.0)
+    hb = jnp.where(lit, hb, 0.0)
+    lt = jnp.where(lit, lt, 0.0)
+    lb = jnp.where(lit, lb, 0.0)
+    vt = jnp.where(lit, vt, 0.0)
+    vb = jnp.where(lit, vb, 0.0)
+
+    # anisotropic GGX NDF
+    d_denom = (ht / ax) ** 2 + (hb / ay) ** 2 + nh * nh
+    d = 1.0 / jnp.maximum(jnp.pi * ax * ay * d_denom * d_denom, _EPS)
+
+    # height-correlated anisotropic Smith visibility (G2 / (4 nl nv)).
+    # nl is kept at 1 inside the dead-branch sqrt: with the masked tangent
+    # components zeroed, the argument would be exactly 0 there and sqrt's
+    # infinite slope at 0 would leak NaN through the 0·∞ of the mask.
+    nl_s = jnp.where(lit, nl, 1.0)
+    lam_v = nl * jnp.sqrt((ax * vt) ** 2 + (ay * vb) ** 2 + nv * nv)
+    lam_l = nv * jnp.sqrt((ax * lt) ** 2 + (ay * lb) ** 2 + nl_s * nl_s)
+    vis = 0.5 / jnp.maximum(lam_v + lam_l, _EPS)
+
+    spec = ks * d * vis * nl
+    diff = kd / jnp.pi * nl
+    return diff + jnp.where(lit, spec, 0.0)
+
+
 class ModelSpec(NamedTuple):
     name: str
     n_params: int
@@ -281,6 +432,8 @@ class ModelSpec(NamedTuple):
     upper: tuple[float, ...]    # brdfdata.cpp:1115-1117)
     linear: int = 2             # leading params the lobe is linear in
                                 # (drives solver/init.py's closed-form NNLS)
+    tangent: bool = False       # needs tangent-frame angle channels
+                                # (shading_angles(..., tangent_frame=True))
 
 
 MODELS: dict[str, ModelSpec] = {
@@ -316,6 +469,24 @@ MODELS: dict[str, ModelSpec] = {
     "minnaert": ModelSpec(
         "minnaert", 2, minnaert, ("kd", "k"),
         (0.5, 1.0), (0.0, 0.3), (100.0, 3.0), linear=1,
+    ),
+    # anisotropic extension lobes: the orientation phi has period π; the box
+    # is one full period wide around 0 so fits near either symmetry axis are
+    # never pinned at a bound.
+    "ward_aniso": ModelSpec(
+        "ward_aniso", 5, ward_aniso, ("kd", "ks", "alpha_x", "alpha_y", "phi"),
+        (0.5, 0.5, 0.3, 0.3, 0.0),
+        (0.0, 0.0, 1e-3, 1e-3, -math.pi / 2),
+        (100.0, 100.0, 1.0, 1.0, math.pi / 2),
+        tangent=True,
+    ),
+    "cook_torrance_aniso": ModelSpec(
+        "cook_torrance_aniso", 5, cook_torrance_aniso,
+        ("kd", "ks", "rough_x", "rough_y", "phi"),
+        (0.5, 0.5, 0.5, 0.5, 0.0),
+        (0.0, 0.0, 1e-3, 1e-3, -math.pi / 2),
+        (100.0, 100.0, 1.0, 1.0, math.pi / 2),
+        tangent=True,
     ),
 }
 

@@ -56,7 +56,8 @@ class TexelProblem(NamedTuple):
 
 
 def build_face_problem(
-    scene: Scene, dtype=jnp.float32, with_geometry: bool = False
+    scene: Scene, dtype=jnp.float32, with_geometry: bool = False,
+    tangent_frame: bool = False,
 ) -> TexelProblem:
     """One texel per *visible* mesh face; per-face intensity = mean over the
     pixels the face covers in each view (z-buffered visibility).
@@ -103,7 +104,7 @@ def build_face_problem(
     )
 
     return TexelProblem(
-        angles=angles_from_geometry(geom),
+        angles=angles_from_geometry(geom, tangent_frame=tangent_frame),
         intensity=jnp.asarray(mean_i, dtype),
         weights=jnp.asarray(weights, dtype),
         face_ids=face_ids,
@@ -118,6 +119,7 @@ def build_pixel_problem(
     smooth_normals: bool = True,
     dtype=jnp.float32,
     with_geometry: bool = False,
+    tangent_frame: bool = False,
 ) -> TexelProblem:
     """One texel per covered *pixel* of a reference view — the reference's
     actual fit granularity (``brdfdata.cpp:1195-1221``), but with hit-point
@@ -138,7 +140,7 @@ def build_pixel_problem(
         eyes, lights,
     )
     return TexelProblem(
-        angles=angles_from_geometry(geom),
+        angles=angles_from_geometry(geom, tangent_frame=tangent_frame),
         intensity=jnp.asarray(intensity, dtype),
         weights=jnp.asarray(weights, dtype),
         face_ids=tex.face_ids,
@@ -271,6 +273,16 @@ def fit_per_texel(
     from brdf_tpu.solver.robust import robust_weights, saturation_weights
 
     spec = MODELS[model]
+    if spec.tangent and problem.angles.cos_th is None:
+        if problem.geometry is not None:
+            problem = problem._replace(
+                angles=angles_from_geometry(problem.geometry, tangent_frame=True)
+            )
+        else:
+            raise ValueError(
+                f"model {model!r} needs tangent-frame angles: build the "
+                "problem with tangent_frame=True (or with_geometry=True)"
+            )
     t, v, c = problem.intensity.shape
     if opts is None:
         opts = LMOptions(eps1=1e-7, eps2=1e-8, eps3=1e-14, itmax=60)

@@ -37,7 +37,9 @@ def render_pixels(
     (``ops/shading_pallas.py``, analytic fwd+bwd); the default XLA path lets
     the compiler fuse the jnp lobe. Both are bitwise-close (tests assert it).
     """
-    ang = shading_angles(points, normals, eye, lights)   # cosines (N, L)
+    ang = shading_angles(
+        points, normals, eye, lights, tangent_frame=MODELS[model].tangent
+    )   # cosines (N, L)
     if engine == "pallas":
         from brdf_tpu.ops.shading_pallas import shade_pallas
 

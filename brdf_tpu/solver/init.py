@@ -45,6 +45,18 @@ def default_shape_grid(model: str, num: int = 16) -> np.ndarray:
         return np.linspace(0.3, 3.0, num)[:, None]
     if model == "lambert":
         return np.zeros((1, 0))      # no shape parameters: one closed-form solve
+    if model in ("ward_aniso", "cook_torrance_aniso"):
+        # (rough_x, rough_y, phi): coarse roughness pairs × two orientations.
+        # phi has period π and the solver refines it quickly once the
+        # roughness pair is in the right basin, so the grid stays small.
+        r = np.geomspace(0.05, 1.0, max(num // 4, 3))
+        rx, ry = np.meshgrid(r, r, indexing="ij")
+        out = []
+        for phi in (0.0, np.pi / 4):
+            out.append(
+                np.stack([rx.ravel(), ry.ravel(), np.full(rx.size, phi)], axis=-1)
+            )
+        return np.concatenate(out, axis=0)
     raise ValueError(f"no default shape grid for model {model!r}")
 
 

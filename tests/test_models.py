@@ -73,7 +73,7 @@ def test_float32_matches_float64(model):
     """BASELINE acceptance: f32 evaluation allclose to the f64 reference."""
     rng = np.random.default_rng(1)
     pts, n, eye, lights = _random_scene(rng, t=128, v=16)
-    ang64 = shading_angles(pts, n, eye, lights)
+    ang64 = shading_angles(pts, n, eye, lights, tangent_frame=True)
     spec = MODELS[model]
     m = spec.n_params
     p64 = jnp.asarray(np.abs(rng.normal(size=(128, m))) * 0.5 + 0.2)
@@ -81,7 +81,7 @@ def test_float32_matches_float64(model):
     i64 = spec.fn(p64, ang64)
 
     to32 = lambda x: jnp.asarray(np.asarray(x), jnp.float32)
-    ang32 = ShadingAngles(*[to32(a) for a in ang64])
+    ang32 = jax.tree.map(to32, ang64)
     i32 = spec.fn(to32(p64), ang32)
     np.testing.assert_allclose(np.asarray(i32), np.asarray(i64), rtol=2e-5, atol=2e-6)
 
@@ -91,7 +91,7 @@ def test_gradients_finite_and_match_fd(model):
     """check_grads-style validation of the differentiated shading path."""
     rng = np.random.default_rng(2)
     pts, n, eye, lights = _random_scene(rng, t=8, v=8)
-    ang = shading_angles(pts, n, eye, lights)
+    ang = shading_angles(pts, n, eye, lights, tangent_frame=True)
     spec = MODELS[model]
     p = jnp.asarray(np.abs(rng.normal(size=(8, spec.n_params))) * 0.4 + 0.3)
     p = jnp.clip(p, jnp.asarray(spec.lower), jnp.asarray(spec.upper))
@@ -116,8 +116,10 @@ def test_geometry_vs_angles_roundtrip():
     """angles_from_geometry(shading_geometry(...)) == shading_angles(...)"""
     rng = np.random.default_rng(3)
     pts, n, eye, lights = _random_scene(rng)
-    a1 = shading_angles(pts, n, eye, lights)
-    a2 = angles_from_geometry(shading_geometry(pts, n, eye, lights))
+    a1 = shading_angles(pts, n, eye, lights, tangent_frame=True)
+    a2 = angles_from_geometry(
+        shading_geometry(pts, n, eye, lights), tangent_frame=True
+    )
     for x, y in zip(a1, a2):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
@@ -126,7 +128,7 @@ def test_lobe_nonnegative_below_horizon():
     """No lobe may emit negative light or light from below the horizon."""
     rng = np.random.default_rng(4)
     pts, n, eye, lights = _random_scene(rng, t=256, v=16)
-    ang = shading_angles(pts, n, eye, lights)
+    ang = shading_angles(pts, n, eye, lights, tangent_frame=True)
     for name, spec in MODELS.items():
         p = jnp.asarray(np.abs(rng.normal(size=(256, spec.n_params))) + 0.1)
         p = jnp.clip(p, jnp.asarray(spec.lower), jnp.asarray(spec.upper))

@@ -46,6 +46,9 @@ def test_zero_offset_is_identity():
     a0 = angles_from_geometry(geom)
     a1 = perturbed_angles(geom, jnp.zeros(32), jnp.zeros(32))
     for x, y in zip(a0, a1):
+        if x is None or y is None:
+            assert x is None and y is None
+            continue
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-12)
 
 
