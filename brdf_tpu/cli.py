@@ -179,6 +179,17 @@ def _save_png(img: np.ndarray, out: str) -> None:
     Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(out)
 
 
+def _parse_env(spec: str) -> np.ndarray:
+    """``constant:V`` or a path to a lat-long ``.npy``/``.npz`` radiance map
+    (H, W, 3), linear units."""
+    if spec.startswith("constant:"):
+        return np.full((64, 128, 3), float(spec.split(":", 1)[1]), np.float64)
+    if spec.endswith(".npz"):
+        data = np.load(spec)
+        return np.asarray(data[list(data.keys())[0]], np.float64)
+    return np.asarray(np.load(spec), np.float64)
+
+
 def cmd_render(args) -> int:
     from brdf_tpu.pipeline.render import render_image
 
@@ -189,21 +200,53 @@ def cmd_render(args) -> int:
         lights = np.asarray(
             [[float(x) for x in spec.split(",")] for spec in args.light]
         )
+    env = _parse_env(args.env) if getattr(args, "env", None) else None
     out = args.out or os.path.join(args.run, f"render_view{args.view}.png")
     if meta["mode"] == "per_texel" and "pixels" in arrays:
-        from brdf_tpu.pipeline.render import render_pixel_fit
+        if env is not None:
+            import jax.numpy as jnp
 
-        img = render_pixel_fit(
-            cfg.model.model, scene, arrays["params"], arrays["pixels"],
-            arrays["points"], arrays["normals"],
-            view=args.view, lights=lights,
-        )
+            from brdf_tpu.pipeline.envlight import env_to_lights, shade_env_samples
+
+            dirs, rad = env_to_lights(
+                env, n=args.env_samples, method=args.env_method
+            )
+            cam = scene.cameras[args.view]
+            c = arrays["params"].shape[1]
+            shaded = shade_env_samples(
+                cfg.model.model,
+                jnp.asarray(arrays["params"]),
+                jnp.asarray(arrays["points"], jnp.float32),
+                jnp.asarray(arrays["normals"], jnp.float32),
+                cam.position,
+                jnp.asarray(dirs), jnp.asarray(rad[:, :c]),
+            )
+            img = np.zeros((cam.height, cam.width, c), np.float32)
+            px = arrays["pixels"]
+            img[px[:, 1], px[:, 0]] = np.asarray(shaded)
+        else:
+            from brdf_tpu.pipeline.render import render_pixel_fit
+
+            img = render_pixel_fit(
+                cfg.model.model, scene, arrays["params"], arrays["pixels"],
+                arrays["points"], arrays["normals"],
+                view=args.view, lights=lights,
+            )
     else:
         params, face_ids, offsets = _expand_params(arrays, meta, scene)
-        img = render_image(
-            cfg.model.model, scene, params, face_ids, view=args.view,
-            lights=lights, normal_offsets=offsets,
-        )
+        if env is not None:
+            from brdf_tpu.pipeline.envlight import relight_env
+
+            img = relight_env(
+                cfg.model.model, scene, params, face_ids, env,
+                view=args.view, n_samples=args.env_samples,
+                method=args.env_method,
+            )
+        else:
+            img = render_image(
+                cfg.model.model, scene, params, face_ids, view=args.view,
+                lights=lights, normal_offsets=offsets,
+            )
     _save_png(img, out)
     print(out)
     return 0
@@ -326,19 +369,33 @@ def main(argv=None) -> int:
                    help="ignore existing solver checkpoints and refit")
     f.set_defaults(fn=cmd_fit)
 
+    def _env_args(sp):
+        sp.add_argument(
+            "--env",
+            help="environment relight: lat-long .npy/.npz radiance map or "
+                 "constant:VALUE (image-based lighting; overrides --light)",
+        )
+        sp.add_argument("--env-samples", type=int, default=256,
+                        dest="env_samples")
+        sp.add_argument("--env-method", default="importance",
+                        choices=["importance", "uniform"], dest="env_method")
+
     r = sub.add_parser("render", help="render from a fitted run")
     r.add_argument("--run", required=True)
     r.add_argument("--view", type=int, default=0)
     r.add_argument("--light", action="append",
                    help="x,y,z world position (repeatable); default = the view's LED")
     r.add_argument("--out")
+    _env_args(r)
     r.set_defaults(fn=cmd_render)
 
-    rl = sub.add_parser("relight", help="alias of render with explicit lights")
+    rl = sub.add_parser("relight",
+                        help="alias of render with explicit lights or --env")
     rl.add_argument("--run", required=True)
     rl.add_argument("--view", type=int, default=0)
-    rl.add_argument("--light", action="append", required=True)
+    rl.add_argument("--light", action="append")
     rl.add_argument("--out")
+    _env_args(rl)
     rl.set_defaults(fn=cmd_render)
 
     tt = sub.add_parser(

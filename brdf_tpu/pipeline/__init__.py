@@ -8,3 +8,10 @@ from brdf_tpu.pipeline.fit import (  # noqa: F401
     fit_single_material,
 )
 from brdf_tpu.pipeline.render import render_image, render_pixels, relight  # noqa: F401
+from brdf_tpu.pipeline.envlight import (  # noqa: F401
+    env_to_lights,
+    relight_env,
+    sh9_irradiance,
+    sh9_project,
+    shade_env_samples,
+)

@@ -83,21 +83,17 @@ def render_image(
     )
 
 
-def shade_raster_map(
-    model: str,
+def gather_covered_pixels(
     mesh,
     rm,
-    cam,
     params: np.ndarray,
     face_ids: np.ndarray,
-    lights: np.ndarray,
-    background: float = 0.0,
     use_vertex_normals: bool = True,
     normal_offsets: np.ndarray | None = None,
-) -> np.ndarray:
-    """Shade one rasterized camera view of ``mesh`` with per-texel parameters
-    — the core of :func:`render_image`, usable with any camera/raster map
-    (novel viewpoints included, see :func:`render_turntable`)."""
+):
+    """Host-side gather of the per-covered-pixel shading inputs of a raster
+    map: returns ``(cov (H, W) bool, pts (N, 3), nrm (N, 3), p_px (N, ...),
+    valid (N,))``. Shared by point-light and environment relighting."""
     if normal_offsets is not None:
         use_vertex_normals = False
 
@@ -135,7 +131,28 @@ def shade_raster_map(
             + off[:, 1:2] * np.asarray(bb)
         )
         nrm = n_new / np.maximum(np.linalg.norm(n_new, axis=-1, keepdims=True), 1e-12)
+    return cov, pts, nrm, p_px, valid
 
+
+def shade_raster_map(
+    model: str,
+    mesh,
+    rm,
+    cam,
+    params: np.ndarray,
+    face_ids: np.ndarray,
+    lights: np.ndarray,
+    background: float = 0.0,
+    use_vertex_normals: bool = True,
+    normal_offsets: np.ndarray | None = None,
+) -> np.ndarray:
+    """Shade one rasterized camera view of ``mesh`` with per-texel parameters
+    — the core of :func:`render_image`, usable with any camera/raster map
+    (novel viewpoints included, see :func:`render_turntable`)."""
+    cov, pts, nrm, p_px, valid = gather_covered_pixels(
+        mesh, rm, params, face_ids,
+        use_vertex_normals=use_vertex_normals, normal_offsets=normal_offsets,
+    )
     shaded = render_pixels(
         model,
         jnp.asarray(p_px),
