@@ -4,6 +4,7 @@ from brdf_tpu.solver.lm import (  # noqa: F401
     StopReason,
     fd_jacobian,
     check_jacobian,
+    chkjac,
     levmar,
     levmar_bc,
     levmar_lec,

@@ -419,6 +419,7 @@ def levmar_bc(
     data_axes: Any = 0,
     jac_mode: str = "auto",
     warm_state=None,
+    dscl=None,
 ) -> LMResult:
     """Box-constrained LM (replaces ``dlevmar_bc_der``/``dlevmar_bc_dif``,
     ``levmar/levmar.h:126-146``).
@@ -444,8 +445,31 @@ def levmar_bc(
         a chunked fit exactly where it left off (with ``p0 = prev.p``): damping
         state carries over and already-terminated lanes short-circuit
         (SURVEY.md §5 checkpoint/resume).
+      dscl: optional ``(m,)`` positive diagonal scaling — the solver works on
+        ``p/dscl`` (bounds, steps, and the eps2 step test are all in scaled
+        variables) and unscales the result, exactly levmar's ``dscl``
+        handling (``lmbc_core.c:360-366``, decls ``levmar.h:129,141``).
+        Useful when parameters differ by orders of magnitude.
     """
     batched = p0.ndim == 2
+
+    if dscl is not None:
+        dscl = jnp.broadcast_to(jnp.asarray(dscl, p0.dtype), (p0.shape[-1],))
+        inner_residual, inner_jac = residual_fn, jac_fn
+        residual_fn = lambda ps, d: inner_residual(ps * dscl, d)
+        if inner_jac is not None:
+            # chain rule: columns of J scale by dscl (lmbc_core.c:575-580)
+            jac_fn = lambda ps, d: inner_jac(ps * dscl, d) * dscl[None, :]
+        p0 = p0 / dscl
+        if lower is not None:
+            lower = jnp.asarray(lower, p0.dtype) / dscl
+        if upper is not None:
+            upper = jnp.asarray(upper, p0.dtype) / dscl
+        res = levmar_bc(
+            residual_fn, p0, lower, upper, data=data, opts=opts, jac_fn=jac_fn,
+            data_axes=data_axes, jac_mode=jac_mode, warm_state=warm_state,
+        )
+        return res._replace(p=res.p * dscl)
 
     if jac_fn is not None:
         jac_of = jac_fn
@@ -583,3 +607,53 @@ def check_jacobian(
     fd = fd_jacobian(residual_fn, p, data, delta=delta)
     scale = jnp.maximum(jnp.abs(jac) + jnp.abs(fd), 1e-8)
     return jnp.max(jnp.abs(jac - fd) / scale)
+
+
+def chkjac(residual_fn, p: jnp.ndarray, data=None, jac_fn=None) -> jnp.ndarray:
+    """Per-residual Jacobian correctness scores in [0, 1] — the faithful
+    MINPACK-CHKDER port levmar ships as ``dlevmar_chkjac``
+    (``levmar/misc_core.c:250-321``; usage template ``lmdemo.c:928-935``).
+
+    For each residual component i the score grades how well the directional
+    derivative predicted by the Jacobian matches the actual change of the
+    residual under the CHKDER probe point ``pp_j = p_j + √ε·|p_j|``:
+    1.0 = agreement to machine precision, 0.0 = no significant agreement,
+    with a log-interpolated grade in between. Unlike
+    :func:`check_jacobian` (a single max-relative-error scalar, the form the
+    tests assert on), this returns the reference's exact (n,) diagnostic.
+    """
+    dtype = p.dtype
+    epsmch = jnp.finfo(dtype).eps
+    eps = jnp.sqrt(epsmch)
+    epsf = 100.0 * epsmch
+    epslog = jnp.log10(eps)
+
+    if jac_fn is None:
+        jac = jax.jacfwd(lambda q: residual_fn(q, data))(p)
+    else:
+        jac = jac_fn(p, data)
+
+    # CHKDER mode-1 probe point: perturb every component at once
+    temp_j = jnp.where(p == 0, eps, eps * jnp.abs(p))
+    pp = p + temp_j
+    fvec = residual_fn(p, data)
+    fvecp = residual_fn(pp, data)
+
+    # mode-2 scoring (misc_core.c:289-319)
+    scale_j = jnp.where(jnp.abs(p) == 0, 1.0, jnp.abs(p))
+    err = jac @ scale_j                                   # Σ_j |p_j|·J_ij
+    df = fvecp - fvec
+    significant = (
+        (fvec != 0) & (fvecp != 0) & (jnp.abs(df) >= epsf * jnp.abs(fvec))
+    )
+    temp = jnp.where(
+        significant,
+        eps * jnp.abs(df / eps - err) / (jnp.abs(fvec) + jnp.abs(fvecp)),
+        1.0,
+    )
+    score = jnp.ones_like(fvec)
+    score = jnp.where(
+        (temp > epsmch) & (temp < eps), (jnp.log10(temp) - epslog) / epslog, score
+    )
+    score = jnp.where(temp >= eps, 0.0, score)
+    return score

@@ -174,3 +174,63 @@ def test_svd_linsolver_handles_singular_system():
     np.testing.assert_allclose(p[0], 2.0, atol=1e-8)
     np.testing.assert_allclose(p[1], -1.0, atol=1e-8)
     assert np.isfinite(p).all()
+
+
+def test_chkjac_scores_grade_correct_and_wrong_jacobians():
+    """MINPACK-CHKDER per-residual scores (dlevmar_chkjac,
+    levmar/misc_core.c:250-321): a correct Jacobian scores ~1 on every
+    residual; a corrupted column drags the affected residuals to ~0."""
+    from brdf_tpu.solver import chkjac
+    from brdf_tpu.solver.problems import _meyer
+
+    p = jnp.asarray([8.85, 4.0, 2.5], jnp.float64)
+    good = chkjac(_meyer, p)
+    assert good.shape == (16,)
+    assert float(jnp.min(good)) > 0.8
+
+    def bad_jac(q, data=None):
+        import jax
+        j = jax.jacfwd(lambda r: _meyer(r, data))(q)
+        return j.at[:, 1].multiply(3.0)  # corrupt one column
+
+    bad = chkjac(_meyer, p, jac_fn=bad_jac)
+    assert float(jnp.max(bad)) < 0.5
+
+
+def test_dscl_diagonal_scaling_recovers_badly_scaled_problem():
+    """levmar's dscl handling (lmbc_core.c:360-366): parameters spanning
+    orders of magnitude fit cleanly when solved in scaled variables, and the
+    result comes back unscaled."""
+    # y = a·exp(-b·t) with a ~ 1e4 and b ~ 1e-3: raw scaling is terrible
+    t = jnp.linspace(0.0, 1000.0, 32, dtype=jnp.float64)
+    a_true, b_true = 2.0e4, 4.0e-3
+    y = a_true * jnp.exp(-b_true * t)
+
+    def resid(p, data=None):
+        return p[0] * jnp.exp(-p[1] * t) - y
+
+    p0 = jnp.asarray([1.0e4, 1.0e-2], jnp.float64)
+    res = levmar_bc(
+        resid, p0, lower=(0.0, 0.0), upper=(1e6, 1.0),
+        opts=LMOptions(itmax=200), data_axes=None, dscl=(1.0e4, 1.0e-3),
+    )
+    np.testing.assert_allclose(np.asarray(res.p), [a_true, b_true], rtol=1e-6)
+    # eps2's relative step test ran in scaled space; result is unscaled
+    assert int(res.stop) in (
+        StopReason.SMALL_GRADIENT, StopReason.SMALL_DP, StopReason.SMALL_CHI2,
+    )
+
+
+def test_dscl_with_analytic_jacobian_matches_unscaled():
+    def resid(p, data=None):
+        return jnp.stack([10.0 * (p[1] - p[0] ** 2), 1.0 - p[0]])
+
+    def jac(p, data=None):
+        return jnp.array([[-20.0 * p[0], 10.0], [-1.0, 0.0]])
+
+    p0 = jnp.asarray([-1.2, 1.0], jnp.float64)
+    r_plain = levmar_bc(resid, p0, opts=OPTS, jac_fn=jac, data_axes=None)
+    r_scaled = levmar_bc(
+        resid, p0, opts=OPTS, jac_fn=jac, data_axes=None, dscl=(2.0, 0.5)
+    )
+    np.testing.assert_allclose(np.asarray(r_scaled.p), np.asarray(r_plain.p), atol=1e-8)
