@@ -137,29 +137,37 @@ def main():
         **quality,
         **_shading_mrays(),
     }
+    failed = _check_gates(out)
+    if failed:
+        out["gate_failed"] = failed
     print(json.dumps(out))
+    if failed:
+        raise SystemExit(1)
 
 
 def _shading_mrays():
     """Secondary metric: Cook-Torrance shading Mrays/s forward+backward
     (one ray = one (texel, view) evaluation; the BASELINE north-star unit),
-    through the Pallas shading kernel with its analytic VJP
-    (ops/shading_pallas.py — measured 1.6x the XLA-fused jnp lobe on v5e;
-    see benchmarks/shading_tpu.py for the side-by-side).
-    Gated by BENCH_SHADING=0 to keep the primary bench minimal."""
-    import os
-
+    through BOTH engines on the SAME inputs — the XLA-fused jnp lobe and
+    ops/shading_pallas.py's hand-VJP kernel — so the Pallas-vs-XLA claim is
+    re-measured (and gated) every round instead of asserted from a one-off
+    side-by-side. The angle distribution matches benchmarks/shading_tpu.py
+    (full-range cosines, ~half the rays horizon-masked like a real capture
+    rig); round 1 benched the Pallas kernel alone on an all-lit distribution,
+    which is why its 16.9 Grays/s was not comparable to the 18.8 Grays/s XLA
+    figure (VERDICT.md Weak #1). Gated by BENCH_SHADING=0 to skip."""
     from brdf_tpu.ops.shading_pallas import shade_pallas
 
     if os.environ.get("BENCH_SHADING", "1") == "0":
         return {}
     t2, v2 = 262144, 16
     rng = np.random.default_rng(1)
+    # full-range distribution == benchmarks/shading_tpu.py::make
     ang = ShadingAngles(
-        cos_ln=jnp.asarray(rng.uniform(0, 1, (t2, v2)), jnp.float32),
-        cos_nh=jnp.asarray(rng.uniform(0, 1, (t2, v2)), jnp.float32),
+        cos_ln=jnp.asarray(rng.uniform(-1, 1, (t2, v2)), jnp.float32),
+        cos_nh=jnp.asarray(rng.uniform(-1, 1, (t2, v2)), jnp.float32),
         cos_rv=jnp.asarray(rng.uniform(-1, 1, (t2, v2)), jnp.float32),
-        cos_vn=jnp.asarray(rng.uniform(0.1, 1, (t2, v2)), jnp.float32),
+        cos_vn=jnp.asarray(rng.uniform(0.05, 1, (t2, v2)), jnp.float32),
     )
     params = jnp.asarray(
         np.stack(
@@ -169,9 +177,18 @@ def _shading_mrays():
         jnp.float32,
     )
     target = jnp.asarray(rng.uniform(0, 1, (t2, v2)), jnp.float32)
+    spec = MODELS["cook_torrance"]
 
     @jax.jit
-    def shade_fwd_bwd(p, ang, y):
+    def xla_fwd_bwd(p, ang, y):
+        def loss(pp):
+            return 0.5 * jnp.sum((spec.fn(pp, ang) - y) ** 2)
+
+        val, grad = jax.value_and_grad(loss)(p)
+        return val, grad, val + jnp.sum(grad[:1])
+
+    @jax.jit
+    def pallas_fwd_bwd(p, ang, y):
         def loss(pp):
             # interpret=False: never fall back to the (glacial) interpreter —
             # this bench is only meaningful on the real chip
@@ -182,25 +199,44 @@ def _shading_mrays():
         val, grad = jax.value_and_grad(loss)(p)
         return val, grad, val + jnp.sum(grad[:1])
 
-    _, _, dg = shade_fwd_bwd(params, ang, target)
-    _ = np.asarray(dg)   # compile + first-exec
+    out = {"shading_batch": [t2, v2]}
+    for name, fn in (("xla", xla_fwd_bwd), ("pallas", pallas_fwd_bwd)):
+        _, _, dg = fn(params, ang, target)
+        _ = np.asarray(dg)   # compile + first-exec
 
-    def timed(n):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            _, _, dg = shade_fwd_bwd(params, ang, target)
-        _ = np.asarray(dg)
-        return time.perf_counter() - t0
+        def timed(n):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                _, _, dg = fn(params, ang, target)
+            _ = np.asarray(dg)
+            return time.perf_counter() - t0
 
-    timed(1)
-    t1 = min(timed(1) for _ in range(3))
-    t6 = min(timed(6) for _ in range(3))
-    per = (t6 - t1) / 5
-    mrays = t2 * v2 * 2 / per / 1e6   # fwd+bwd
-    return {
-        "shading_mrays_per_sec_fwd_bwd": round(mrays, 1),
-        "shading_batch": [t2, v2],
-    }
+        timed(1)
+        t1 = min(timed(1) for _ in range(3))
+        t6 = min(timed(6) for _ in range(3))
+        per = (t6 - t1) / 5
+        out[f"shading_{name}_mrays_fwd_bwd"] = round(t2 * v2 * 2 / per / 1e6, 1)
+    out["shading_mrays_per_sec_fwd_bwd"] = out["shading_pallas_mrays_fwd_bwd"]
+    out["shading_pallas_vs_xla"] = round(
+        out["shading_pallas_mrays_fwd_bwd"] / out["shading_xla_mrays_fwd_bwd"], 3
+    )
+    return out
+
+
+def _check_gates(out: dict) -> list[str]:
+    """Quality/perf gates: a regression to "fast but wrong" (or a Pallas
+    kernel slower than the XLA fusion it exists to beat) must FAIL the bench,
+    not just print a number (VERDICT.md Weak #2). Mirrors how levmar always
+    reported its own counters honestly (``lm_core.c:814-827``)."""
+    failed = []
+    if out["recovery_frac"] < 0.80:
+        failed.append(f"recovery_frac {out['recovery_frac']:.3f} < 0.80")
+    if out["chi2_p99"] > 1e-4:
+        failed.append(f"chi2_p99 {out['chi2_p99']:.2e} > 1e-4")
+    ratio = out.get("shading_pallas_vs_xla")
+    if ratio is not None and ratio < 1.0:
+        failed.append(f"shading pallas/xla {ratio:.2f} < 1.0")
+    return failed
 
 
 if __name__ == "__main__":

@@ -27,6 +27,7 @@ import math
 from typing import Callable, NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 _EPS = 1e-12
 
@@ -114,6 +115,66 @@ def angles_from_geometry(
         )
     return ShadingAngles(
         cos_ln=cos_ln, cos_nh=cos_nh, cos_rv=cos_rv, cos_vn=cos_vn, **ext
+    )
+
+
+def shading_geometry_np(points, normals, eye, lights) -> ShadingGeometry:
+    """Pure-NumPy twin of :func:`shading_geometry` for host-side problem
+    building: on the tunneled TPU runtime every eager device op is a
+    roundtrip and every distinct jitted program a (minutes-slow) remote
+    compile, so precompute that doesn't need autodiff must never touch the
+    device (CLAUDE.md TPU-access discipline). Returns NumPy-backed
+    ``ShadingGeometry`` (float64 accumulation, cast by the caller)."""
+    points = np.asarray(points, np.float64)
+    normals = np.asarray(normals, np.float64)
+    eye = np.asarray(eye, np.float64)
+    lights = np.asarray(lights, np.float64)
+
+    def norm(x):
+        return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), _EPS)
+
+    l = norm(lights - points[..., None, :])
+    if eye.ndim == 1:
+        v = norm(eye - points)[..., None, :]
+    else:
+        v = norm(eye - points[..., None, :])
+    v = np.broadcast_to(v, l.shape)
+    return ShadingGeometry(n=normals, l=l, v=v)
+
+
+def angles_from_geometry_np(
+    geom: ShadingGeometry, tangent_frame: bool = False, dtype=np.float32
+) -> ShadingAngles:
+    """Pure-NumPy twin of :func:`angles_from_geometry` (same math, same
+    tangent basis); see :func:`shading_geometry_np` for why it exists."""
+    n = np.asarray(geom.n, np.float64)[..., None, :]
+    l = np.asarray(geom.l, np.float64)
+    v = np.asarray(geom.v, np.float64)
+    cos_ln = np.sum(n * l, axis=-1)
+    h = l + v
+    h = h / np.maximum(np.linalg.norm(h, axis=-1, keepdims=True), _EPS)
+    cos_nh = np.sum(n * h, axis=-1)
+    r = 2.0 * cos_ln[..., None] * n - l
+    cos_rv = np.sum(r * v, axis=-1)
+    cos_vn = np.sum(n * v, axis=-1)
+    ext = {}
+    if tangent_frame:
+        from brdf_tpu.models.normalmap import tangent_basis_np
+
+        t, b = tangent_basis_np(np.asarray(geom.n, np.float64))
+        t = t[..., None, :]
+        b = b[..., None, :]
+        ext = dict(
+            cos_th=np.sum(t * h, -1).astype(dtype),
+            cos_bh=np.sum(b * h, -1).astype(dtype),
+            cos_tl=np.sum(t * l, -1).astype(dtype),
+            cos_bl=np.sum(b * l, -1).astype(dtype),
+            cos_tv=np.sum(t * v, -1).astype(dtype),
+            cos_bv=np.sum(b * v, -1).astype(dtype),
+        )
+    return ShadingAngles(
+        cos_ln=cos_ln.astype(dtype), cos_nh=cos_nh.astype(dtype),
+        cos_rv=cos_rv.astype(dtype), cos_vn=cos_vn.astype(dtype), **ext,
     )
 
 

@@ -42,6 +42,23 @@ def tangent_basis(n: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return t, bt
 
 
+def tangent_basis_np(n):
+    """Pure-NumPy twin of :func:`tangent_basis` (identical Duff et al.
+    construction) for host-side problem building — see
+    ``models/brdf.py::shading_geometry_np`` for the TPU-access rationale."""
+    import numpy as np
+
+    n = np.asarray(n)
+    sign = np.where(n[..., 2] >= 0, 1.0, -1.0)
+    a = -1.0 / (sign + n[..., 2])
+    b = n[..., 0] * n[..., 1] * a
+    t = np.stack(
+        [1.0 + sign * n[..., 0] ** 2 * a, sign * b, -sign * n[..., 0]], axis=-1
+    )
+    bt = np.stack([b, sign + n[..., 1] ** 2 * a, -n[..., 1]], axis=-1)
+    return t, bt
+
+
 class JointSpec(NamedTuple):
     base_model: str
     n_params: int

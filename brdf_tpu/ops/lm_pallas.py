@@ -20,10 +20,11 @@ redesigned for the TPU memory hierarchy:
   the angle partials those evals also produce are dead code here and the
   compiler eliminates them). One iteration costs ~2 model evaluations —
   levmar's finite-difference path cost m+1 (``misc_core.c:137-172``).
-- **Any registry lobe, m ∈ {1..4}**: the damped normal equations solve by
-  closed form per size — scalar, 2×2/3×3 Cramer, 4×4 Cholesky — so the
-  fused path covers every model in ``models/brdf.py`` including the
-  4-parameter Cook-Torrance+Fresnel and the diffuse-only family.
+- **Any registry lobe, m ∈ {1..5}**: the damped normal equations solve by
+  closed form per size — scalar, 2×2/3×3 Cramer, and an unrolled Cholesky
+  for m ∈ {4, 5} — so the fused path covers every model in
+  ``models/brdf.py``: the diffuse-only family, the 4-parameter
+  Cook-Torrance+Fresnel, and the 5-parameter anisotropic lobes.
 - **Per-lane control flow**: each texel's accept/reject/damping state is a
   lane; the block iterates until all its lanes converge (`while_loop` with a
   scalar any-active condition). No ragged control flow, no wasted jacfwd.
@@ -52,11 +53,13 @@ from brdf_tpu.solver.lm import LMOptions, StopReason
 
 _EPS = 1e-12
 
-# Every registry lobe fits the fused path (m ≤ 4). Kept as the membership
-# check parallel/fit.py's engine="auto" keys off.
+# Every registry lobe fits the fused path (m ≤ MAX_PARAMS = 5, covering the
+# 5-param anisotropic lobes). Kept as the membership check
+# parallel/fit.py's engine="auto" keys off.
 PALLAS_MODELS: dict[str, ShadingKernelSpec] = dict(SHADING_KERNELS)
 
 _TINY = 1e-30
+MAX_PARAMS = 5
 
 
 def _row_sum(x):
@@ -100,38 +103,32 @@ def _solve_damped(af: dict, gf: list, m: int):
             -(c02 * gf[0] + c12 * gf[1] + c22 * gf[2]) * inv,
         ]
         return dp, ok
-    if m == 4:
-        # Cholesky A = L Lᵀ, closed form; non-PD pivots flag the lane singular
-        def safe_sqrt(v):
-            return jnp.sqrt(jnp.maximum(v, _TINY))
-
-        v0 = af[(0, 0)]
-        l00 = safe_sqrt(v0)
-        l10 = af[(0, 1)] / l00
-        l20 = af[(0, 2)] / l00
-        l30 = af[(0, 3)] / l00
-        v1 = af[(1, 1)] - l10 * l10
-        l11 = safe_sqrt(v1)
-        l21 = (af[(1, 2)] - l20 * l10) / l11
-        l31 = (af[(1, 3)] - l30 * l10) / l11
-        v2 = af[(2, 2)] - l20 * l20 - l21 * l21
-        l22 = safe_sqrt(v2)
-        l32 = (af[(2, 3)] - l30 * l20 - l31 * l21) / l22
-        v3 = af[(3, 3)] - l30 * l30 - l31 * l31 - l32 * l32
-        l33 = safe_sqrt(v3)
-        ok = (v0 > _TINY) & (v1 > _TINY) & (v2 > _TINY) & (v3 > _TINY)
-        # forward: L y = −g
-        y0 = -gf[0] / l00
-        y1 = (-gf[1] - l10 * y0) / l11
-        y2 = (-gf[2] - l20 * y0 - l21 * y1) / l22
-        y3 = (-gf[3] - l30 * y0 - l31 * y1 - l32 * y2) / l33
-        # backward: Lᵀ dp = y
-        d3 = y3 / l33
-        d2 = (y2 - l32 * d3) / l22
-        d1 = (y1 - l21 * d2 - l31 * d3) / l11
-        d0 = (y0 - l10 * d1 - l20 * d2 - l30 * d3) / l00
+    if m <= MAX_PARAMS:
+        # Closed-form Cholesky A = L Lᵀ, unrolled at trace time for any m
+        # (the 4-param fresnel and 5-param aniso lobes take this tier);
+        # non-PD pivots flag the lane singular.
+        l = {}
+        ok = None
+        for j in range(m):
+            v = af[(j, j)] - sum(l[(j, k)] * l[(j, k)] for k in range(j))
+            ok = (v > _TINY) if ok is None else ok & (v > _TINY)
+            l[(j, j)] = jnp.sqrt(jnp.maximum(v, _TINY))
+            for i in range(j + 1, m):
+                l[(i, j)] = (
+                    af[(j, i)] - sum(l[(i, k)] * l[(j, k)] for k in range(j))
+                ) / l[(j, j)]
+        y = []
+        for i in range(m):                      # forward: L y = −g
+            y.append(
+                (-gf[i] - sum(l[(i, k)] * y[k] for k in range(i))) / l[(i, i)]
+            )
+        dp: list = [None] * m
+        for i in reversed(range(m)):            # backward: Lᵀ dp = y
+            dp[i] = (
+                y[i] - sum(l[(k, i)] * dp[k] for k in range(i + 1, m))
+            ) / l[(i, i)]
         okf = ok.astype(gf[0].dtype)
-        return [d0 * okf, d1 * okf, d2 * okf, d3 * okf], ok
+        return [d * okf for d in dp], ok
     raise ValueError(f"unsupported parameter count m={m}")
 
 
@@ -140,8 +137,8 @@ def _lm_kernel(
     y_ref,        # (V, TB)
     w_ref,        # (V, TB)
     p0_ref,       # (8, TB): rows 0..m-1 = params
-    out_ref,      # (16, TB): rows 0..3 params, 4 chi2, 5 iters, 6 stop,
-                  #           7 g_inf, 8 mu
+    out_ref,      # (16, TB): rows 0..4 params, 5 chi2, 6 iters, 7 stop,
+                  #           8 g_inf, 9 mu
     *,
     spec: ShadingKernelSpec,
     opts: LMOptions,
@@ -179,8 +176,8 @@ def _lm_kernel(
     # Carry is ONE packed (16, TB) array: a while_loop carry of many (1, TB)
     # values mixes splat-constant and reduction layouts, which Mosaic cannot
     # reconcile ("Not implemented: Sublane broadcast"); a single packed buffer
-    # keeps one layout. Rows: 0-3 params, then the scalar-per-lane states.
-    R_CHI2, R_MU, R_NU, R_IT, R_STOP, R_GINF = 4, 5, 6, 7, 8, 9
+    # keeps one layout. Rows: 0..MAX_PARAMS-1 params, then per-lane states.
+    R_CHI2, R_MU, R_NU, R_IT, R_STOP, R_GINF = 5, 6, 7, 8, 9, 10
 
     def pack(rows: dict):
         parts = [rows.get(i, zero) for i in range(16)]
@@ -313,14 +310,14 @@ def _lm_kernel(
         row(final, R_STOP),
     )
     zero_row = jnp.zeros_like(zero)
-    for j in range(4):
+    for j in range(MAX_PARAMS):
         out_ref[j : j + 1, :] = row(final, j) if j < m else zero_row
-    out_ref[4:5, :] = row(final, R_CHI2)
-    out_ref[5:6, :] = row(final, R_IT)
-    out_ref[6:7, :] = stop_out
-    out_ref[7:8, :] = row(final, R_GINF)
-    out_ref[8:9, :] = row(final, R_MU)
-    for j in range(9, 16):
+    out_ref[5:6, :] = row(final, R_CHI2)
+    out_ref[6:7, :] = row(final, R_IT)
+    out_ref[7:8, :] = stop_out
+    out_ref[8:9, :] = row(final, R_GINF)
+    out_ref[9:10, :] = row(final, R_MU)
+    for j in range(10, 16):
         out_ref[j : j + 1, :] = zero_row
 
 
@@ -400,9 +397,9 @@ def lm_fit_pallas(
     out = out[:, :t]
     return PallasFitResult(
         p=out[0:m].T,
-        chi2=out[4],
-        iters=out[5],
-        stop=out[6].astype(jnp.int32),
-        g_inf=out[7],
-        mu=out[8],
+        chi2=out[5],
+        iters=out[6],
+        stop=out[7].astype(jnp.int32),
+        g_inf=out[8],
+        mu=out[9],
     )

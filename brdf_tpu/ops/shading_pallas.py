@@ -332,6 +332,166 @@ def _oren_nayar_full(angles, params):
     return i_val, (base, d_sigma), (d_cl, d_cvn, d_crv)
 
 
+def _ward_aniso_full(angles, params):
+    """Anisotropic Ward (``models/brdf.py::ward_aniso``) with hand partials.
+
+    The in-plane orientation φ rotates the tangent-frame half-vector
+    components; its own partial uses dht/dφ = hb, dhb/dφ = −ht.
+    """
+    cl, cnh, cvn, cth, cbh = angles
+    kd, ks, p_ax, p_ay, phi = params
+    ax = jnp.maximum(p_ax, 1e-3)
+    ay = jnp.maximum(p_ay, 1e-3)
+    live_ax = (p_ax > 1e-3).astype(cl.dtype)
+    live_ay = (p_ay > 1e-3).astype(cl.dtype)
+
+    nl = jnp.maximum(cl, 0.0)
+    nv = jnp.maximum(cvn, _EPS)
+    litb = (cl > 0) & (cnh > 0) & (cvn > 0)
+    lit = litb.astype(cl.dtype)
+    nh = jnp.maximum(jnp.where(litb, cnh, 1.0), 1e-4)
+
+    c = jnp.cos(phi)
+    s = jnp.sin(phi)
+    ht = c * cth + s * cbh
+    hb = -s * cth + c * cbh
+    ht = jnp.where(litb, ht, 0.0)
+    hb = jnp.where(litb, hb, 0.0)
+
+    nh2 = nh * nh
+    ax2 = ax * ax
+    ay2 = ay * ay
+    expo = ((ht * ht) / ax2 + (hb * hb) / ay2) / nh2
+    lobe = jnp.exp(-expo) / (4.0 * jnp.pi * ax * ay)
+    rt = jnp.sqrt(jnp.where(litb, nl, 1.0) / nv)
+    spec_b = rt * lobe * lit
+
+    inv_pi = 1.0 / jnp.pi
+    i_val = kd * inv_pi * nl + ks * spec_b
+
+    d_kd = inv_pi * nl
+    d_ks = spec_b
+    # dlobe/dax = lobe·(2ht²/(ax³ nh²) − 1/ax) (expo and the 1/(4π ax ay) norm)
+    d_ax = ks * rt * lobe * lit * (2.0 * ht * ht / (ax2 * ax * nh2) - 1.0 / ax) * live_ax
+    d_ay = ks * rt * lobe * lit * (2.0 * hb * hb / (ay2 * ay * nh2) - 1.0 / ay) * live_ay
+    dexpo_dphi = 2.0 * ht * hb * (1.0 / ax2 - 1.0 / ay2) / nh2
+    d_phi = -ks * rt * lobe * lit * dexpo_dphi
+
+    d_cl = kd * inv_pi * (cl > 0).astype(cl.dtype) \
+        + ks * lobe * lit / (2.0 * jnp.sqrt(jnp.maximum(nl * nv, _EPS))) \
+        * (cl > 0).astype(cl.dtype)
+    # expo = K/nh² with K nh-independent ⇒ dexpo/dnh = −2·expo/nh
+    d_cnh = ks * rt * lobe * lit * (2.0 * expo / nh) * (cnh > 1e-4).astype(cl.dtype)
+    d_cvn = ks * lobe * lit * (-0.5) * rt / nv * (cvn > _EPS).astype(cl.dtype)
+    d_cth = -ks * rt * lobe * lit * (2.0 * ht * c / ax2 - 2.0 * hb * s / ay2) / nh2
+    d_cbh = -ks * rt * lobe * lit * (2.0 * ht * s / ax2 + 2.0 * hb * c / ay2) / nh2
+    return (
+        i_val,
+        (d_kd, d_ks, d_ax, d_ay, d_phi),
+        (d_cl, d_cnh, d_cvn, d_cth, d_cbh),
+    )
+
+
+def _cook_torrance_aniso_full(angles, params):
+    """Anisotropic GGX Cook-Torrance (``models/brdf.py::cook_torrance_aniso``)
+    with hand partials: Disney remap α = r², anisotropic NDF
+    ``D = 1/(π αₓ α_y u²)`` with ``u = (hₜ/αₓ)² + (h_b/α_y)² + h_n²``, and
+    height-correlated anisotropic Smith visibility. All tangent-frame
+    components are rotated by the fitted orientation φ (dX_t/dφ = X_b,
+    dX_b/dφ = −X_t for each of H, L, V).
+    """
+    cl, cnh, cvn, cth, cbh, ctl, cbl, ctv, cbv = angles
+    kd, ks, p_rx, p_ry, phi = params
+    rx = jnp.maximum(p_rx, 1e-3)
+    ry = jnp.maximum(p_ry, 1e-3)
+    a = rx * rx                                   # α_x (Disney remap)
+    b = ry * ry
+    live_rx = (p_rx > 1e-3).astype(cl.dtype)
+    live_ry = (p_ry > 1e-3).astype(cl.dtype)
+
+    litb = (cl > 0) & (cvn > 0) & (cnh > 0)
+    lit = litb.astype(cl.dtype)
+    nl = jnp.maximum(cl, 0.0)
+    nv = jnp.where(litb, jnp.maximum(cvn, _EPS), 1.0)
+    nh = jnp.where(litb, cnh, 1.0)
+    nl_s = jnp.where(litb, nl, 1.0)
+
+    c = jnp.cos(phi)
+    s = jnp.sin(phi)
+
+    def rot(t_c, b_c):
+        tr = c * t_c + s * b_c
+        br = -s * t_c + c * b_c
+        return jnp.where(litb, tr, 0.0), jnp.where(litb, br, 0.0)
+
+    ht, hb = rot(cth, cbh)
+    lt, lb = rot(ctl, cbl)
+    vt, vb = rot(ctv, cbv)
+
+    # anisotropic GGX NDF  D = 1/max(π a b u², eps)
+    u = (ht / a) ** 2 + (hb / b) ** 2 + nh * nh
+    du_raw = jnp.pi * a * b * u * u
+    live_d = (du_raw > _EPS).astype(cl.dtype)
+    d = 1.0 / jnp.maximum(du_raw, _EPS)
+    u_s = jnp.maximum(u, _EPS)
+    dd_da = d * (-1.0 / a + 4.0 * ht * ht / (u_s * a * a * a)) * live_d
+    dd_db = d * (-1.0 / b + 4.0 * hb * hb / (u_s * b * b * b)) * live_d
+    dd_dht = -4.0 * d * ht / (u_s * a * a) * live_d
+    dd_dhb = -4.0 * d * hb / (u_s * b * b) * live_d
+    dd_dnh = -4.0 * d * nh / u_s * live_d
+
+    # height-correlated anisotropic Smith visibility
+    sv = jnp.sqrt((a * vt) ** 2 + (b * vb) ** 2 + nv * nv)
+    sl = jnp.sqrt((a * lt) ** 2 + (b * lb) ** 2 + nl_s * nl_s)
+    den_raw = nl * sv + nv * sl
+    live_v = (den_raw > _EPS).astype(cl.dtype)
+    den = jnp.maximum(den_raw, _EPS)
+    vis = 0.5 / den
+    dvis = -0.5 / (den * den) * live_v            # × dden/dX
+    sv_s = jnp.maximum(sv, _EPS)
+    sl_s = jnp.maximum(sl, _EPS)
+    dden_da = nl * a * vt * vt / sv_s + nv * a * lt * lt / sl_s
+    dden_db = nl * b * vb * vb / sv_s + nv * b * lb * lb / sl_s
+    dden_dnl = sv + nv * nl_s / sl_s              # nl factor + nl_s chain in sl
+    dden_dnv = nl * nv / sv_s + sl
+    dden_dvt = nl * a * a * vt / sv_s
+    dden_dvb = nl * b * b * vb / sv_s
+    dden_dlt = nv * a * a * lt / sl_s
+    dden_dlb = nv * b * b * lb / sl_s
+
+    inv_pi = 1.0 / jnp.pi
+    s_core = d * vis * nl                         # spec / ks
+    i_val = kd * inv_pi * nl + ks * s_core * lit
+
+    d_kd = inv_pi * nl
+    d_ks = s_core * lit
+    d_rx = ks * nl * (dd_da * vis + d * dvis * dden_da) * lit * 2.0 * rx * live_rx
+    d_ry = ks * nl * (dd_db * vis + d * dvis * dden_db) * lit * 2.0 * ry * live_ry
+    dden_dphi = (
+        dden_dvt * vb - dden_dvb * vt + dden_dlt * lb - dden_dlb * lt
+    )
+    d_phi = ks * nl * (
+        (dd_dht * hb - dd_dhb * ht) * vis + d * dvis * dden_dphi
+    ) * lit
+
+    pos_l = (cl > 0).astype(cl.dtype)
+    d_cl = kd * inv_pi * pos_l \
+        + ks * lit * pos_l * (d * vis + d * nl * dvis * dden_dnl)
+    d_cnh = ks * lit * dd_dnh * vis * nl
+    d_cvn = ks * lit * d * nl * dvis * dden_dnv * (cvn > _EPS).astype(cl.dtype)
+    d_cth = ks * lit * nl * vis * (dd_dht * c - dd_dhb * s)
+    d_cbh = ks * lit * nl * vis * (dd_dht * s + dd_dhb * c)
+    d_ctl = ks * lit * nl * d * dvis * (dden_dlt * c - dden_dlb * s)
+    d_cbl = ks * lit * nl * d * dvis * (dden_dlt * s + dden_dlb * c)
+    d_ctv = ks * lit * nl * d * dvis * (dden_dvt * c - dden_dvb * s)
+    d_cbv = ks * lit * nl * d * dvis * (dden_dvt * s + dden_dvb * c)
+    return (
+        i_val,
+        (d_kd, d_ks, d_rx, d_ry, d_phi),
+        (d_cl, d_cnh, d_cvn, d_cth, d_cbh, d_ctl, d_cbl, d_ctv, d_cbv),
+    )
+
+
 SHADING_KERNELS: dict[str, ShadingKernelSpec] = {
     "blinn_phong": ShadingKernelSpec(
         "blinn_phong", 3, ("cos_ln", "cos_nh"), _blinn_phong_full),
@@ -349,6 +509,14 @@ SHADING_KERNELS: dict[str, ShadingKernelSpec] = {
         "ward", 3, ("cos_ln", "cos_nh", "cos_vn"), _ward_full),
     "oren_nayar": ShadingKernelSpec(
         "oren_nayar", 2, ("cos_ln", "cos_vn", "cos_rv"), _oren_nayar_full),
+    "ward_aniso": ShadingKernelSpec(
+        "ward_aniso", 5, ("cos_ln", "cos_nh", "cos_vn", "cos_th", "cos_bh"),
+        _ward_aniso_full),
+    "cook_torrance_aniso": ShadingKernelSpec(
+        "cook_torrance_aniso", 5,
+        ("cos_ln", "cos_nh", "cos_vn", "cos_th", "cos_bh",
+         "cos_tl", "cos_bl", "cos_tv", "cos_bv"),
+        _cook_torrance_aniso_full),
 }
 
 _P_ROWS = 8  # params padded to 8 sublanes (f32 tile alignment)

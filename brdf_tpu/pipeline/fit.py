@@ -27,19 +27,14 @@ import numpy as np
 from brdf_tpu.models.brdf import (
     MODELS,
     ShadingAngles,
-    angles_from_geometry,
-    shading_geometry,
+    angles_from_geometry_np,
+    shading_geometry_np,
 )
 from brdf_tpu.parallel.fit import fit_texels_sharded
 from brdf_tpu.parallel.mesh import make_mesh
 from brdf_tpu.pipeline.scene import Scene
 from brdf_tpu.solver.init import linear_grid_init
 from brdf_tpu.solver.lm import LMOptions, LMResult, levmar_bc
-
-
-# One compiled program instead of a chain of eager device ops (tunneled TPU
-# backends pay a roundtrip per eager op)
-_shading_geometry_jit = jax.jit(shading_geometry)
 
 
 class TexelProblem(NamedTuple):
@@ -71,6 +66,10 @@ def build_face_problem(
     f_count = mesh.num_faces
     v_count = scene.num_views
 
+    # Everything here is host-side NumPy by design: on the tunneled TPU
+    # runtime a device op is a roundtrip and a fresh jitted program a remote
+    # compile, so problem building must not touch the device at all
+    # (CLAUDE.md TPU-access discipline; fit_texels_sharded device_puts once).
     sums = np.zeros((v_count, f_count, 3), np.float64)
     counts = np.zeros((v_count, f_count), np.int64)
     for vi in range(v_count):
@@ -78,35 +77,36 @@ def build_face_problem(
         fid = rm.face_id
         cov = fid >= 0
         ids = fid[cov]
-        np.add.at(sums[vi], ids, scene.images[vi][cov].astype(np.float64))
-        np.add.at(counts[vi], ids, 1)
+        img = scene.images[vi][cov].astype(np.float64)
+        # bincount-based segment sum: ~10× faster than np.add.at's
+        # element-at-a-time scatter on large covered-pixel sets
+        for ch in range(3):
+            sums[vi, :, ch] = np.bincount(ids, weights=img[:, ch], minlength=f_count)
+        counts[vi] = np.bincount(ids, minlength=f_count)
 
     visible = counts.sum(axis=0) > 0
     face_ids = np.nonzero(visible)[0]
-    t = len(face_ids)
 
-    mean_i = np.zeros((t, v_count, 3), np.float32)
-    weights = np.zeros((t, v_count), np.float32)
-    for vi in range(v_count):
-        c = counts[vi][face_ids]
-        seen = c > 0
-        mean_i[seen, vi] = (
-            sums[vi][face_ids][seen] / c[seen][:, None]
-        ).astype(np.float32)
-        weights[:, vi] = seen.astype(np.float32)
+    c = counts[:, face_ids].T                       # (T, V)
+    seen = c > 0
+    mean_i = (
+        sums[:, face_ids].transpose(1, 0, 2)
+        / np.maximum(c, 1)[..., None]
+    ).astype(np.float32)                            # (T, V, 3)
+    mean_i[~seen] = 0.0
+    weights = seen.astype(np.float32)
 
     centroids = mesh.centroids[face_ids]
     normals = mesh.face_normals[face_ids]
-    eyes = jnp.asarray(scene.eyes(), dtype)
-    lights = jnp.asarray(scene.lights, dtype)
-    geom = _shading_geometry_jit(
-        centroids.astype(dtype), normals.astype(dtype), eyes, lights
-    )
+    geom = shading_geometry_np(centroids, normals, scene.eyes(), scene.lights)
+    geom = jax.tree.map(lambda a: a.astype(np.dtype(dtype)), geom)
 
     return TexelProblem(
-        angles=angles_from_geometry(geom, tangent_frame=tangent_frame),
-        intensity=jnp.asarray(mean_i, dtype),
-        weights=jnp.asarray(weights, dtype),
+        angles=angles_from_geometry_np(
+            geom, tangent_frame=tangent_frame, dtype=np.dtype(dtype)
+        ),
+        intensity=mean_i,
+        weights=weights,
         face_ids=face_ids,
         geometry=geom if with_geometry else None,
     )
@@ -133,16 +133,15 @@ def build_pixel_problem(
     )
     intensity, weights = sample_views(tex, scene)
 
-    eyes = jnp.asarray(scene.eyes(), dtype)
-    lights = jnp.asarray(scene.lights, dtype)
-    geom = _shading_geometry_jit(
-        jnp.asarray(tex.points, dtype), jnp.asarray(tex.normals, dtype),
-        eyes, lights,
-    )
+    # host-side NumPy throughout (see build_face_problem)
+    geom = shading_geometry_np(tex.points, tex.normals, scene.eyes(), scene.lights)
+    geom = jax.tree.map(lambda a: a.astype(np.dtype(dtype)), geom)
     return TexelProblem(
-        angles=angles_from_geometry(geom, tangent_frame=tangent_frame),
-        intensity=jnp.asarray(intensity, dtype),
-        weights=jnp.asarray(weights, dtype),
+        angles=angles_from_geometry_np(
+            geom, tangent_frame=tangent_frame, dtype=np.dtype(dtype)
+        ),
+        intensity=intensity.astype(np.dtype(dtype)),
+        weights=weights.astype(np.dtype(dtype)),
         face_ids=tex.face_ids,
         geometry=geom if with_geometry else None,
         pixels=tex.pixels,
@@ -276,7 +275,7 @@ def fit_per_texel(
     if spec.tangent and problem.angles.cos_th is None:
         if problem.geometry is not None:
             problem = problem._replace(
-                angles=angles_from_geometry(problem.geometry, tangent_frame=True)
+                angles=angles_from_geometry_np(problem.geometry, tangent_frame=True)
             )
         else:
             raise ValueError(

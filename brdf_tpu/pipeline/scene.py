@@ -34,15 +34,50 @@ class Scene:
         return len(self.cameras)
 
     def raster_map(self, view: int = 0) -> RasterMap:
-        """Pixel↔surface map for a view (cached; cameras shared across views
-        share one rasterization)."""
+        """Pixel↔surface map for a view (cached in memory per camera and —
+        keyed by a (mesh, camera) content hash — on disk, so repeated CLI
+        runs over the same scene skip rasterization entirely; set
+        ``BRDF_TPU_CACHE_DIR=`` empty to disable the disk tier)."""
         cam = self.cameras[view]
         key = id(cam)
         if key not in self._raster_cache:
-            self._raster_cache[key] = rasterize_mesh(
+            self._raster_cache[key] = self._raster_cached(cam)
+        return self._raster_cache[key]
+
+    def _raster_cached(self, cam: Camera) -> RasterMap:
+        import hashlib
+
+        cache_dir = os.environ.get("BRDF_TPU_CACHE_DIR", "/tmp/brdf_tpu_cache")
+        if not cache_dir:
+            return rasterize_mesh(
                 cam, np.asarray(self.mesh.vertices), np.asarray(self.mesh.faces)
             )
-        return self._raster_cache[key]
+        verts = np.ascontiguousarray(np.asarray(self.mesh.vertices, np.float64))
+        faces = np.ascontiguousarray(np.asarray(self.mesh.faces, np.int64))
+        hsh = hashlib.sha1()
+        hsh.update(verts.tobytes())
+        hsh.update(faces.tobytes())
+        for field in ("rotation", "position", "f", "cx", "cy", "sx", "kappa1"):
+            hsh.update(np.asarray(getattr(cam, field), np.float64).tobytes())
+        hsh.update(np.asarray([cam.width, cam.height]).tobytes())
+        path = os.path.join(cache_dir, f"raster_{hsh.hexdigest()}.npz")
+        if os.path.exists(path):
+            try:
+                with np.load(path) as z:
+                    return RasterMap(
+                        face_id=z["face_id"], bary=z["bary"], depth=z["depth"]
+                    )
+            except Exception:
+                pass  # corrupt/partial cache entry: fall through and rebuild
+        rm = rasterize_mesh(cam, verts, faces)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = path + f".tmp{os.getpid()}.npz"
+            np.savez(tmp, face_id=rm.face_id, bary=rm.bary, depth=rm.depth)
+            os.replace(tmp, path)
+        except OSError:
+            pass  # cache dir unwritable: still return the fresh map
+        return rm
 
     def eyes(self) -> np.ndarray:
         """(V, 3) camera position per view."""

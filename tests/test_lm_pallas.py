@@ -3,8 +3,9 @@
 Gate (BASELINE acceptance): the kernel's converged fits must match the
 float64-validated `solver.lm` path — same data, same starts — in final χ² and
 parameters on identifiable texels, and its analytic derivatives must match
-autodiff. The kernel now covers every registry lobe (m ∈ {1..4}), so the
-parametrization spans the scalar, 2×2/3×3 Cramer and 4×4 Cholesky solves.
+autodiff. The kernel now covers every registry lobe (m ∈ {1..5}), so the
+parametrization spans the scalar, 2×2/3×3 Cramer and the unrolled m∈{4,5}
+Cholesky solves (incl. the anisotropic lobes).
 """
 
 import jax
@@ -37,6 +38,10 @@ def _sample(model, rng, t):
         cols = [rng.uniform(0.2, 1.0, t), rng.uniform(0.5, 2.0, t)]
     elif model == "lambert":
         cols = [rng.uniform(0.2, 1.0, t)]
+    elif model in ("ward_aniso", "cook_torrance_aniso"):
+        cols = [rng.uniform(0.1, 0.9, t), rng.uniform(0.2, 1.0, t),
+                rng.uniform(0.2, 0.9, t), rng.uniform(0.2, 0.9, t),
+                rng.uniform(-1.0, 1.0, t)]
     else:
         raise ValueError(model)
     return np.stack(cols, -1).astype(np.float32)
@@ -44,11 +49,18 @@ def _sample(model, rng, t):
 
 def _problem(model, t=256, v=16, seed=0):
     rng = np.random.default_rng(seed)
+    ext = {}
+    if MODELS[model].tangent:
+        ext = {
+            name: jnp.asarray(rng.uniform(-1, 1, (t, v)), jnp.float32)
+            for name in ("cos_th", "cos_bh", "cos_tl", "cos_bl", "cos_tv", "cos_bv")
+        }
     ang = ShadingAngles(
         cos_ln=jnp.asarray(rng.uniform(0, 1, (t, v)), jnp.float32),
         cos_nh=jnp.asarray(rng.uniform(0, 1, (t, v)), jnp.float32),
         cos_rv=jnp.asarray(rng.uniform(-1, 1, (t, v)), jnp.float32),
         cos_vn=jnp.asarray(rng.uniform(0.1, 1, (t, v)), jnp.float32),
+        **ext,
     )
     true_p = _sample(model, rng, t)
     target = MODELS[model].fn(jnp.asarray(true_p), ang)
@@ -86,8 +98,11 @@ def test_pallas_fit_matches_solver(model):
     spec = MODELS[model]
     p0 = linear_grid_init(model, ang, target).astype(jnp.float32)
 
+    # the 5-param aniso lobes are slower to converge under the kernel's
+    # one-solve-per-iteration damping variant — give them headroom
+    opts = OPTS._replace(itmax=100) if spec.n_params == 5 else OPTS
     res_pallas = lm_fit_pallas(
-        model, ang, target, p0, opts=OPTS,
+        model, ang, target, p0, opts=opts,
         lower=tuple(spec.lower), upper=tuple(spec.upper),
         block_t=128, interpret=True,
     )

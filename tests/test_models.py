@@ -124,6 +124,29 @@ def test_geometry_vs_angles_roundtrip():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
+def test_numpy_geometry_twin_matches_jnp():
+    """The host-side NumPy geometry path (shading_geometry_np /
+    angles_from_geometry_np — used by the problem builders so preprocessing
+    never touches the tunneled device) must match the jnp path channel for
+    channel, including the tangent frame."""
+    from brdf_tpu.models.brdf import angles_from_geometry_np, shading_geometry_np
+
+    rng = np.random.default_rng(11)
+    pts, n, eye, lights = _random_scene(rng)
+    a_j = angles_from_geometry(
+        shading_geometry(pts, n, eye, lights), tangent_frame=True
+    )
+    a_n = angles_from_geometry_np(
+        shading_geometry_np(pts, n, eye, lights), tangent_frame=True,
+        dtype=np.float64,
+    )
+    for name in a_j._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(a_j, name)), getattr(a_n, name),
+            rtol=1e-6, atol=1e-7, err_msg=name,
+        )
+
+
 def test_lobe_nonnegative_below_horizon():
     """No lobe may emit negative light or light from below the horizon."""
     rng = np.random.default_rng(4)

@@ -20,17 +20,26 @@ ALL_MODELS = sorted(SHADING_KERNELS)
 
 def make_case(model, t=517, v=16, seed=0, dtype=np.float32):
     rng = np.random.default_rng(seed)
+    spec = MODELS[model]
+    ext = {}
+    if spec.tangent:
+        ext = {
+            name: jnp.asarray(rng.uniform(-1, 1, (t, v)), dtype)
+            for name in ("cos_th", "cos_bh", "cos_tl", "cos_bl", "cos_tv", "cos_bv")
+        }
     ang = ShadingAngles(
         cos_ln=jnp.asarray(rng.uniform(-1, 1, (t, v)), dtype),
         cos_nh=jnp.asarray(rng.uniform(-1, 1, (t, v)), dtype),
         cos_rv=jnp.asarray(rng.uniform(-1, 1, (t, v)), dtype),
         cos_vn=jnp.asarray(rng.uniform(0.05, 1, (t, v)), dtype),
+        **ext,
     )
-    spec = MODELS[model]
     cols = []
     for lo, hi, name in zip(spec.lower, spec.upper, spec.param_names):
         if name == "n":
             cols.append(rng.uniform(1.0, 30.0, t))
+        elif name == "phi":
+            cols.append(rng.uniform(-1.2, 1.2, t))
         else:
             cols.append(rng.uniform(max(lo, 0.05), min(hi, 1.0), t))
     params = jnp.asarray(np.stack(cols, -1), dtype)
