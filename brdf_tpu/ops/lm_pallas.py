@@ -321,6 +321,310 @@ def _lm_kernel(
         out_ref[j : j + 1, :] = zero_row
 
 
+# ---------------------------------------------------------------------------
+# Chunked-view engine: Pallas normal-equation accumulation + XLA control loop
+# ---------------------------------------------------------------------------
+#
+# The fully-fused kernel above keeps the whole view axis in VMEM, which bounds
+# the rig size (SURVEY.md §5's long-context row asks for blockwise view
+# accumulation instead). This engine splits the solve:
+#
+# - a Pallas kernel accumulates the per-texel normal equations
+#   (χ², upper-tri JᵀJ, Jᵀe) over (texel-block, view-chunk) grid steps —
+#   each chunk streams through VMEM and accumulates into the output block,
+#   exactly how blockwise attention bounds KV memory;
+# - the LM control loop (freeze, damping, closed-form solve, accept,
+#   Nielsen μ) runs at the XLA level on (T,) lanes, re-invoking the kernel
+#   once per iteration (plus one χ²-only call for the trial point).
+#
+# Because the per-texel normal equations leave the kernel as arrays, a view-
+# sharded mesh just psums them (``axis_name``) — the fused kernel's
+# "view axis must be unsharded" restriction does not apply here.
+
+
+def _ne_rows(m: int) -> int:
+    """Rows of the NE accumulator: 1 (χ²) + m(m+1)/2 (JᵀJ) + m (Jᵀe)."""
+    return 1 + m * (m + 1) // 2 + m
+
+
+def _ne_kernel(angles_ref, y_ref, w_ref, p_ref, out_ref, *, spec, with_partials):
+    """One (texel-block, view-chunk) step: evaluate the lobe + partials on the
+    chunk and accumulate χ²/JᵀJ/Jᵀe into the block's output rows (zeroed on
+    the first chunk). ``with_partials=False`` accumulates χ² only (the trial
+    point evaluation; the partial computations are dead-code-eliminated)."""
+    m = spec.n_params
+    angles = tuple(angles_ref[a] for a in range(len(spec.angle_names)))
+    p = tuple(p_ref[j : j + 1, :] for j in range(m))
+    y = y_ref[...]
+    w = w_ref[...]
+    i_val, d, _ = spec.eval(angles, p)
+    r = (i_val - y) * w
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    acc = [_row_sum(r * r)]
+    if with_partials:
+        w2 = w * w
+        for j in range(m):
+            for k in range(j, m):
+                acc.append(_row_sum(d[j] * d[k] * w2))
+        for j in range(m):
+            acc.append(_row_sum(d[j] * r * w))
+    rows = len(acc)
+    out_ref[0:rows, :] = out_ref[0:rows, :] + jnp.concatenate(acc, axis=0)
+
+
+def _ne_call(spec, ang_stack, y, w, p_rows, block_t, view_block,
+             with_partials, interpret):
+    a, vp, tp = ang_stack.shape
+    rows = _ne_rows(spec.n_params) if with_partials else 1
+    rows_p = ((rows + 7) // 8) * 8
+    out = pl.pallas_call(
+        functools.partial(_ne_kernel, spec=spec, with_partials=with_partials),
+        grid=(tp // block_t, vp // view_block),
+        in_specs=[
+            pl.BlockSpec((a, view_block, block_t), lambda i, j: (0, j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((view_block, block_t), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((view_block, block_t), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_t), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows_p, block_t), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_p, tp), jnp.float32),
+        interpret=interpret,
+    )(ang_stack, y, w, p_rows)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "opts", "lower", "upper", "block_t", "view_block",
+        "axis_name", "interpret",
+    ),
+)
+def lm_fit_pallas_chunked(
+    model: str,
+    angles: ShadingAngles,
+    target: jnp.ndarray,     # (T, V)
+    p0: jnp.ndarray,         # (T, m)
+    weights: jnp.ndarray | None = None,
+    opts: LMOptions = LMOptions(eps1=1e-6, eps2=1e-7, eps3=1e-12, itmax=30),
+    lower: tuple = (0.0, 0.0, 0.0),
+    upper: tuple = (100.0, 100.0, 100.0),
+    block_t: int = 1024,
+    view_block: int = 16,
+    axis_name: str | None = None,
+    interpret: bool = False,
+) -> PallasFitResult:
+    """Chunked-view LM fit: identical math to :func:`lm_fit_pallas` (same
+    stop codes, same one-solve-per-iteration damping variant) but with the
+    view axis streamed through VMEM in ``view_block`` chunks, so V is
+    unbounded; pass ``axis_name`` when the view axis is additionally sharded
+    over a mesh (the per-shard normal equations psum before the solve)."""
+    spec = PALLAS_MODELS[model]
+    m = spec.n_params
+    if len(lower) != m or len(upper) != m:
+        raise ValueError(f"{model} has {m} params; got bounds {lower}/{upper}")
+    t, v = target.shape
+    if weights is None:
+        weights = jnp.ones_like(target)
+
+    pad_t = (-t) % block_t
+    tp = t + pad_t
+    view_block = min(view_block, v)
+    pad_v = (-v) % view_block
+    vp = v + pad_v
+
+    def prep(x):  # (T, V) → (Vp, Tp); padded views carry zero weight
+        x = x.astype(jnp.float32).T
+        return jnp.pad(x, ((0, pad_v), (0, pad_t)))
+
+    ang_stack = jnp.stack(
+        [prep(getattr(angles, name)) for name in spec.angle_names]
+    )
+    y = prep(target)
+    w = prep(weights)
+    p0_rows = jnp.pad(p0.astype(jnp.float32).T, ((0, 8 - m), (0, pad_t)))
+
+    if axis_name is not None:
+        reduce_sum = functools.partial(jax.lax.psum, axis_name=axis_name)
+    else:
+        reduce_sum = lambda x: x
+
+    lb = [jnp.float32(b) for b in lower]
+    ub = [jnp.float32(b) for b in upper]
+
+    def clip_rows(pr):
+        rows = [jnp.clip(pr[j], lb[j], ub[j]) for j in range(m)]
+        return jnp.concatenate(
+            [jnp.stack(rows), jnp.zeros((8 - m, tp), jnp.float32)], axis=0
+        )
+
+    def ne(pr):
+        out = reduce_sum(
+            _ne_call(spec, ang_stack, y, w, pr, block_t, view_block, True,
+                     interpret)
+        )
+        af = {}
+        idx = 1
+        for j in range(m):
+            for k in range(j, m):
+                af[(j, k)] = out[idx]
+                idx += 1
+        g = [out[idx + j] for j in range(m)]
+        return out[0], af, g
+
+    def chi2_of(pr):
+        return reduce_sum(
+            _ne_call(spec, ang_stack, y, w, pr, block_t, view_block, False,
+                     interpret)
+        )[0]
+
+    eps1 = jnp.float32(opts.eps1)
+    eps2_sq = jnp.float32(opts.eps2) ** 2
+    eps3 = jnp.float32(opts.eps3)
+    mu_max = jnp.float32(opts.mu_max)
+    tau = jnp.float32(opts.tau)
+
+    p_init = clip_rows(p0_rows)
+    chi2_0 = chi2_of(p_init)
+    zero = jnp.zeros_like(chi2_0)
+
+    class _S(NamedTuple):
+        p: jnp.ndarray       # (8, Tp)
+        chi2: jnp.ndarray    # (Tp,)
+        mu: jnp.ndarray
+        nu: jnp.ndarray
+        it: jnp.ndarray
+        stop: jnp.ndarray
+        ginf: jnp.ndarray
+
+    state = _S(
+        p=p_init, chi2=chi2_0, mu=zero, nu=zero + 2.0, it=zero,
+        stop=jnp.where(
+            jnp.isfinite(chi2_0), zero, zero + float(StopReason.INVALID_VALUES)
+        ),
+        ginf=zero + jnp.float32(3.4e38),
+    )
+
+    def active_of(s):
+        return (s.stop == 0.0) & (s.it < float(opts.itmax))
+
+    def cond(s):
+        return jnp.any(active_of(s))
+
+    def body(s):
+        p = [s.p[j] for j in range(m)]
+        _, a, g = ne(s.p)
+
+        pg = [p[j] - jnp.clip(p[j] - g[j], lb[j], ub[j]) for j in range(m)]
+        g_inf = functools.reduce(jnp.maximum, [jnp.abs(x) for x in pg])
+        grad_conv = g_inf <= eps1
+
+        mu = jnp.where(
+            s.it == 0.0,
+            tau * functools.reduce(jnp.maximum, [a[(j, j)] for j in range(m)]),
+            s.mu,
+        )
+
+        frozen = [
+            ((p[j] <= lb[j]) & (g[j] > 0)) | ((p[j] >= ub[j]) & (g[j] < 0))
+            for j in range(m)
+        ]
+        free = [jnp.where(frozen[j], 0.0, 1.0) for j in range(m)]
+        af = {}
+        for j in range(m):
+            af[(j, j)] = jnp.where(frozen[j], 1.0, a[(j, j)] + mu)
+        for j in range(m):
+            for k in range(j + 1, m):
+                af[(j, k)] = a[(j, k)] * free[j] * free[k]
+        gf = [g[j] * free[j] for j in range(m)]
+
+        dp, solver_ok = _solve_damped(af, gf, m)
+
+        pn = [jnp.clip(p[j] + dp[j], lb[j], ub[j]) for j in range(m)]
+        dpa = [pn[j] - p[j] for j in range(m)]
+        dp_nrm2 = sum(x * x for x in dpa)
+        p_nrm2 = sum(x * x for x in p)
+        small_dp = dp_nrm2 <= eps2_sq * p_nrm2
+
+        pn_rows = jnp.concatenate(
+            [jnp.stack(pn), jnp.zeros((8 - m, tp), jnp.float32)], axis=0
+        )
+        chi2_new = chi2_of(pn_rows)
+        finite = jnp.isfinite(chi2_new)
+        df = s.chi2 - chi2_new
+
+        def a_full(j, k):
+            return a[(j, k)] if j <= k else a[(k, j)]
+
+        q = [sum(a_full(j, k) * dpa[k] for k in range(m)) for j in range(m)]
+        g_dot = sum(g[j] * dpa[j] for j in range(m))
+        q_dot = sum(dpa[j] * q[j] for j in range(m))
+        dl = -(2.0 * g_dot + q_dot)
+
+        accept = solver_ok & finite & (df > 0)
+        rho = jnp.where(dl > 0, df / jnp.maximum(dl, _TINY), 1.0)
+        tmp = 2.0 * rho - 1.0
+        mu_next = jnp.where(
+            accept,
+            mu * jnp.maximum(1.0 / 3.0, 1.0 - tmp * tmp * tmp),
+            mu * s.nu,
+        )
+        nu_next = jnp.where(accept, 2.0, s.nu * 2.0)
+
+        stop = jnp.zeros_like(zero)
+        stop = jnp.where(mu_next > mu_max, float(StopReason.NO_REDUCTION), stop)
+        stop = jnp.where(
+            (~solver_ok) & (mu > mu_max / 2), float(StopReason.SINGULAR), stop
+        )
+        stop = jnp.where(small_dp & solver_ok, float(StopReason.SMALL_DP), stop)
+        chi2_sel = jnp.where(accept, chi2_new, s.chi2)
+        stop = jnp.where(chi2_sel <= eps3, float(StopReason.SMALL_CHI2), stop)
+        stop = jnp.where(grad_conv, float(StopReason.SMALL_GRADIENT), stop)
+
+        act = active_of(s)
+        keep = lambda new, old: jnp.where(act, new, old)
+        p_next = jnp.concatenate(
+            [
+                jnp.stack([keep(jnp.where(accept, pn[j], p[j]), p[j])
+                           for j in range(m)]),
+                jnp.zeros((8 - m, tp), jnp.float32),
+            ],
+            axis=0,
+        )
+        return _S(
+            p=p_next,
+            chi2=keep(chi2_sel, s.chi2),
+            mu=keep(mu_next, s.mu),
+            nu=keep(nu_next, s.nu),
+            it=keep(s.it + 1.0, s.it),
+            stop=keep(stop, s.stop),
+            ginf=keep(g_inf, s.ginf),
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    stop_out = jnp.where(
+        final.stop == 0.0, float(StopReason.MAX_ITERATIONS), final.stop
+    )
+    sl = slice(0, t)
+    return PallasFitResult(
+        p=final.p[0:m, sl].T,
+        chi2=final.chi2[sl],
+        iters=final.it[sl],
+        stop=stop_out[sl].astype(jnp.int32),
+        g_inf=final.ginf[sl],
+        mu=final.mu[sl],
+    )
+
+
 class PallasFitResult(NamedTuple):
     p: jnp.ndarray       # (T, m)
     chi2: jnp.ndarray    # (T,)

@@ -50,9 +50,10 @@ def fit_texels_sharded(
         jit with sharded inputs, so XLA partitions it across the mesh too).
       weights: optional (T, V) residual weights (0 masks a measurement).
       engine: "xla" (lax while_loop solver — any model, views shardable),
-        "pallas" (fused VMEM kernel — 3-param lobes, view axis must be
-        unsharded since the kernel reduces its views locally), or "auto"
-        (pallas on TPU when eligible).
+        "pallas" (fused VMEM kernel when the local view axis fits, else the
+        chunked normal-equation kernel that streams view blocks through VMEM
+        and psums the per-shard normal equations when views are sharded),
+        or "auto" (pallas on TPU, xla elsewhere).
       warm_state: optional (μ, ν, stop) triple of (T,) arrays (e.g.
         ``prev.warm_state()``) resuming a chunked fit with ``p0=prev.p``;
         terminated lanes short-circuit. XLA engine only.
@@ -86,21 +87,18 @@ def fit_texels_sharded(
     else:
         p0 = jax.device_put(p0, t_sharding)
 
+    # Key off the mesh's own platform, not jax.default_backend(): a
+    # virtual-CPU validation mesh must pick the lax engine even when a
+    # real TPU is this process's default backend (and vice versa).
+    mesh_platform = mesh.devices.flat[0].platform
     if engine == "auto":
         from brdf_tpu.ops.lm_pallas import PALLAS_MODELS
 
-        # Key off the mesh's own platform, not jax.default_backend(): a
-        # virtual-CPU validation mesh must pick the lax engine even when a
-        # real TPU is this process's default backend (and vice versa).
-        mesh_platform = mesh.devices.flat[0].platform
-        pallas_ok = (
-            mesh_platform == "tpu"
-            and model in PALLAS_MODELS
-            and mesh.shape[VIEW_AXIS] == 1
+        engine = (
+            "pallas"
+            if mesh_platform == "tpu" and model in PALLAS_MODELS
+            else "xla"
         )
-        engine = "pallas" if pallas_ok else "xla"
-    if engine == "pallas" and mesh.shape[VIEW_AXIS] != 1:
-        raise ValueError("pallas engine requires the view axis unsharded")
     if warm_state is not None and engine == "pallas":
         raise ValueError("warm_state resume requires the xla engine")
 
@@ -139,14 +137,45 @@ def fit_texels_sharded(
     )
     def fit_block(p0_blk, angles_blk, target_blk, weights_blk, warm_blk):
         if engine == "pallas":
-            from brdf_tpu.ops.lm_pallas import lm_fit_pallas
+            from brdf_tpu.ops.lm_pallas import (
+                SHADING_KERNELS,
+                lm_fit_pallas,
+                lm_fit_pallas_chunked,
+            )
 
-            r = lm_fit_pallas(
-                model, angles_blk, target_blk, p0_blk, weights=weights_blk,
-                opts=opts._replace(axis_name=None),
+            bounds = dict(
                 lower=tuple(float(x) for x in np.asarray(lower)),
                 upper=tuple(float(x) for x in np.asarray(upper)),
             )
+            # Interpret mode keeps the pallas path testable on CPU meshes
+            # (glacial — only for correctness runs, never the bench).
+            interpret = mesh_platform != "tpu"
+            v_local = target_blk.shape[1]
+            a = len(SHADING_KERNELS[model].angle_names)
+            # Fused tier holds (A+2)·V lanes of angle/target data + ~48 rows
+            # of state per lane in VMEM (double-buffered); once the texel
+            # block that fits shrinks below 256 lanes, the chunked engine's
+            # view streaming wins. A sharded view axis always takes the
+            # chunked engine (its normal equations psum over the mesh; the
+            # fused kernel's reductions are VMEM-local by construction).
+            lane_bytes = 4 * ((a + 2) * v_local + 48)
+            fused_block = (10 << 20) // (2 * lane_bytes) // 128 * 128
+            if mesh.shape[VIEW_AXIS] == 1 and fused_block >= 256:
+                r = lm_fit_pallas(
+                    model, angles_blk, target_blk, p0_blk, weights=weights_blk,
+                    opts=opts._replace(axis_name=None),
+                    block_t=min(1024, fused_block),
+                    interpret=interpret,
+                    **bounds,
+                )
+            else:
+                r = lm_fit_pallas_chunked(
+                    model, angles_blk, target_blk, p0_blk, weights=weights_blk,
+                    opts=opts._replace(axis_name=None),
+                    axis_name=VIEW_AXIS if mesh.shape[VIEW_AXIS] > 1 else None,
+                    interpret=interpret,
+                    **bounds,
+                )
             z = jnp.zeros_like(r.chi2)
             return LMResult(
                 p=r.p, chi2=r.chi2, chi2_init=z, g_inf=r.g_inf,

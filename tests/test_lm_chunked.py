@@ -1,0 +1,144 @@
+"""Chunked-view Pallas LM engine (ops/lm_pallas.py::lm_fit_pallas_chunked).
+
+The blockwise view accumulation SURVEY.md §5 calls for ("blockwise
+accumulation over view chunks bounds memory like blockwise attention"): the
+normal equations accumulate per (texel-block, view-chunk) grid step in a
+Pallas kernel while the LM control loop runs at the XLA level, so
+
+- the view axis is unbounded (V ≫ what fits in VMEM at once), and
+- a view-sharded mesh psums the per-shard normal equations, lifting the
+  fused kernel's "view axis must be unsharded" restriction.
+
+All tests run the kernels in interpret mode on the CPU conftest platform.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brdf_tpu.models.brdf import MODELS, ShadingAngles
+from brdf_tpu.ops.lm_pallas import lm_fit_pallas, lm_fit_pallas_chunked
+from brdf_tpu.solver.init import linear_grid_init
+from brdf_tpu.solver.lm import LMOptions, levmar_bc
+
+OPTS = LMOptions(eps1=1e-6, eps2=1e-7, eps3=1e-12, itmax=40)
+
+
+def _problem(model, t, v, seed=0):
+    rng = np.random.default_rng(seed)
+    ang = ShadingAngles(
+        cos_ln=jnp.asarray(rng.uniform(0, 1, (t, v)), jnp.float32),
+        cos_nh=jnp.asarray(rng.uniform(0, 1, (t, v)), jnp.float32),
+        cos_rv=jnp.asarray(rng.uniform(-1, 1, (t, v)), jnp.float32),
+        cos_vn=jnp.asarray(rng.uniform(0.1, 1, (t, v)), jnp.float32),
+    )
+    spec = MODELS[model]
+    if model == "cook_torrance":
+        cols = [rng.uniform(0.1, 0.9, t), rng.uniform(0.2, 1.0, t),
+                rng.uniform(0.15, 0.9, t)]
+    else:
+        cols = [rng.uniform(0.1, 0.9, t), rng.uniform(0.2, 1.0, t),
+                rng.uniform(2.0, 25.0, t)]
+    true_p = np.stack(cols, -1).astype(np.float32)
+    target = spec.fn(jnp.asarray(true_p), ang)
+    return ang, target, true_p
+
+
+@pytest.mark.parametrize("view_block", [4, 8, 16])
+def test_chunked_matches_fused(view_block):
+    """Any chunking of the view axis must reproduce the fused kernel's
+    trajectory (same math, different accumulation order): identical stop
+    codes and iteration counts, parameters to f32 reduction noise."""
+    ang, target, _ = _problem("blinn_phong", 192, 16)
+    spec = MODELS["blinn_phong"]
+    p0 = linear_grid_init("blinn_phong", ang, target).astype(jnp.float32)
+    kw = dict(opts=OPTS, lower=tuple(spec.lower), upper=tuple(spec.upper),
+              block_t=128, interpret=True)
+    r_f = lm_fit_pallas("blinn_phong", ang, target, p0, **kw)
+    r_c = lm_fit_pallas_chunked(
+        "blinn_phong", ang, target, p0, view_block=view_block, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(r_f.stop), np.asarray(r_c.stop))
+    np.testing.assert_array_equal(np.asarray(r_f.iters), np.asarray(r_c.iters))
+    np.testing.assert_allclose(r_f.p, r_c.p, rtol=1e-3, atol=1e-4)
+
+
+def test_large_view_count_matches_lax_tier():
+    """A 256-view rig (VERDICT.md next-round #5's acceptance case) through
+    the chunked engine matches the lax solver's fits."""
+    ang, target, true_p = _problem("cook_torrance", 96, 256, seed=2)
+    spec = MODELS["cook_torrance"]
+    p0 = linear_grid_init("cook_torrance", ang, target).astype(jnp.float32)
+    r_c = lm_fit_pallas_chunked(
+        "cook_torrance", ang, target, p0, opts=OPTS,
+        lower=tuple(spec.lower), upper=tuple(spec.upper),
+        block_t=128, view_block=32, interpret=True,
+    )
+
+    def residual(p, data):
+        a, y = data
+        return spec.fn(p, a) - y
+
+    r_x = levmar_bc(residual, p0, spec.lower, spec.upper,
+                    data=(ang, target), opts=OPTS)
+    # 256 views overdetermine the 3-param lobe massively: both tiers recover
+    # the truth nearly everywhere
+    err_c = (np.abs(np.asarray(r_c.p) - true_p)
+             / np.maximum(np.abs(true_p), 1e-3)).max(-1)
+    err_x = (np.abs(np.asarray(r_x.p) - true_p)
+             / np.maximum(np.abs(true_p), 1e-3)).max(-1)
+    assert (err_c < 1e-2).mean() > 0.9
+    assert (err_c < 1e-2).mean() >= (err_x < 1e-2).mean() - 0.05
+
+
+def test_view_padding_is_masked():
+    """V not divisible by view_block: the padded views must not leak into
+    the normal equations (weight-0 rows by construction)."""
+    ang, target, _ = _problem("blinn_phong", 100, 13, seed=3)
+    spec = MODELS["blinn_phong"]
+    p0 = linear_grid_init("blinn_phong", ang, target).astype(jnp.float32)
+    kw = dict(opts=OPTS, lower=tuple(spec.lower), upper=tuple(spec.upper),
+              block_t=128, interpret=True)
+    r_a = lm_fit_pallas_chunked("blinn_phong", ang, target, p0,
+                                view_block=4, **kw)   # pads 13 → 16
+    r_b = lm_fit_pallas_chunked("blinn_phong", ang, target, p0,
+                                view_block=13, **kw)  # no padding
+    np.testing.assert_allclose(r_a.p, r_b.p, rtol=1e-3, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(r_a.stop), np.asarray(r_b.stop))
+
+
+def test_sharded_views_pallas_engine():
+    """fit_texels_sharded(engine="pallas") on a view-sharded mesh: the
+    chunked engine's psum'd normal equations must reproduce the single-device
+    xla fit (the restriction VERDICT.md Missing #3 flagged is lifted)."""
+    from brdf_tpu.parallel.fit import fit_texels_sharded
+    from brdf_tpu.parallel.mesh import make_mesh
+
+    ang, target, true_p = _problem("blinn_phong", 128, 16, seed=4)
+    spec = MODELS["blinn_phong"]
+    p0 = jnp.asarray(true_p * 1.05)
+    opts = LMOptions(eps1=1e-6, eps2=1e-7, eps3=1e-12, itmax=80)
+
+    mesh = make_mesh(data=2, view=4, devices=jax.devices()[:8])
+    res_sharded = fit_texels_sharded(
+        "blinn_phong", ang, target, mesh, opts=opts, p0=p0, engine="pallas"
+    )
+    mesh1 = make_mesh(data=1, view=1, devices=jax.devices()[:1])
+    res_single = fit_texels_sharded(
+        "blinn_phong", ang, target, mesh1, opts=opts, p0=p0, engine="pallas"
+    )
+    # mechanism: the psum'd normal equations reproduce the unsharded fit
+    # (identical math up to f32 reduction order; a handful of flat-objective
+    # lanes may take a different-but-equivalent trajectory)
+    chi2_s = np.asarray(res_sharded.chi2)
+    chi2_1 = np.asarray(res_single.chi2)
+    assert np.median(chi2_s) < 1e-9 and np.median(chi2_1) < 1e-9
+    assert (chi2_s < np.maximum(10 * chi2_1, 1e-8)).mean() > 0.9
+    same_stop = (np.asarray(res_sharded.stop) == np.asarray(res_single.stop))
+    assert same_stop.mean() > 0.9
+    close_p = (
+        np.abs(np.asarray(res_sharded.p) - np.asarray(res_single.p))
+        / np.maximum(np.abs(np.asarray(res_single.p)), 1e-3)
+    ).max(-1) < 1e-2
+    assert close_p.mean() > 0.9
