@@ -183,6 +183,8 @@ def fit_texels_sharded(
                 nfev=(2.0 * r.iters + 1).astype(jnp.int32),
                 njev=r.iters.astype(jnp.int32),
                 mu=r.mu, nu=jnp.full_like(r.mu, 2.0),
+                nlss=r.iters.astype(jnp.int32),   # one solve per iteration
+                constraint_violation=z,
             )
         return levmar_bc(
             residual,
@@ -202,5 +204,5 @@ def _result_structure() -> LMResult:
     z = jnp.zeros(())
     return LMResult(
         p=z, chi2=z, chi2_init=z, g_inf=z, iters=z, stop=z, nfev=z, njev=z,
-        mu=z, nu=z,
+        mu=z, nu=z, nlss=z, constraint_violation=z,
     )

@@ -189,6 +189,8 @@ def _merge_chunk(acc: LMResult, res: LMResult, active: jnp.ndarray) -> LMResult:
         njev=acc.njev + jnp.where(active, res.njev, 0),
         mu=keep(res.mu, acc.mu),
         nu=keep(res.nu, acc.nu),
+        nlss=acc.nlss + jnp.where(active, res.nlss, 0),
+        constraint_violation=keep(res.constraint_violation, acc.constraint_violation),
     )
 
 

@@ -71,9 +71,18 @@ def levmar_blec(
     res = levmar_lec(
         aug_residual, p0, A, b, data=data, opts=opts, data_axes=data_axes
     )
-    # clamp the reported point into the box (penalties keep it within ~1/w)
-    p_clamped = jnp.clip(res.p, jnp.asarray(lo, dtype), jnp.asarray(hi, dtype))
-    return res._replace(p=p_clamped)
+    # Clamp the reported point into the box (penalties keep it within ~1/w),
+    # but SURFACE the pre-clamp violation: a hard clip after a penalty solve
+    # can silently hide a penalty-weight failure (the reference reported
+    # constraint status via info codes; VERDICT.md Weak #5).
+    lo_a = jnp.asarray(lo, dtype)
+    hi_a = jnp.asarray(hi, dtype)
+    # infinite bounds contribute −inf → max(·, 0) = 0, so no masking needed
+    violation = jnp.max(
+        jnp.maximum(jnp.maximum(lo_a - res.p, res.p - hi_a), 0.0), axis=-1
+    )
+    p_clamped = jnp.clip(res.p, lo_a, hi_a)
+    return res._replace(p=p_clamped, constraint_violation=violation)
 
 
 def levmar_bleic(

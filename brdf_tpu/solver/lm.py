@@ -19,8 +19,8 @@ Algorithm lineage (with the reference's entry points it replaces):
   through a QR factorization (``LEVMAR_LEC_DER``, ``levmar/lmlec_core.c``).
 
 Termination reasons mirror levmar's ``info[6]`` codes (``levmar/lm_core.c:80-90``)
-so downstream diagnostics translate directly; counters ``nfev``/``njev`` mirror
-``info[7..8]``.
+so downstream diagnostics translate directly; counters ``nfev``/``njev``/``nlss``
+mirror ``info[7..9]``.
 
 Design notes (TPU):
 - One *outer* iteration recomputes the Jacobian (forward-mode: m≈3-8 pushes
@@ -92,6 +92,11 @@ class LMResult(NamedTuple):
     njev: jnp.ndarray       # (...,) Jacobian evaluations  (info[8])
     mu: jnp.ndarray = jnp.nan   # (...,) final damping μ — resume state
     nu: jnp.ndarray = jnp.nan   # (...,) final ν           — resume state
+    nlss: jnp.ndarray = jnp.nan  # (...,) linear systems solved (info[9])
+    constraint_violation: jnp.ndarray = jnp.nan
+    # (...,) max pre-clamp constraint violation — set by the penalty-based
+    # solvers (levmar_blec/bleic): a large value flags a penalty-weight
+    # failure that the returned (clamped) point would otherwise hide
 
     def warm_state(self):
         """(μ, ν, stop) triple for resuming via ``levmar_bc(warm_state=...)``:
@@ -116,6 +121,7 @@ class _State(NamedTuple):
     stop: jnp.ndarray
     nfev: jnp.ndarray
     njev: jnp.ndarray
+    nlss: jnp.ndarray
 
 
 def _solve_damped(
@@ -228,6 +234,7 @@ def _lm_single(
         stop=stop0,
         nfev=jnp.int32(1),
         njev=jnp.int32(0),
+        nlss=jnp.int32(0),
     )
 
     def cond(s: _State):
@@ -367,6 +374,7 @@ def _lm_single(
             stop=stop,
             nfev=t.nfev,
             njev=s.njev + 1,
+            nlss=s.nlss + t.tries,   # one damped solve per inner try (info[9])
         )
 
     final = jax.lax.while_loop(cond, body, init)
@@ -386,6 +394,8 @@ def _lm_single(
         njev=final.njev,
         mu=final.mu,
         nu=final.nu,
+        nlss=final.nlss,
+        constraint_violation=jnp.zeros((), dtype),
     )
 
 

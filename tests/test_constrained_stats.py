@@ -109,3 +109,43 @@ def test_r_squared_perfect_and_mean():
     y = jnp.asarray([1.0, 2.0, 3.0, 4.0])
     np.testing.assert_allclose(float(r_squared(y, y)), 1.0)
     np.testing.assert_allclose(float(r_squared(jnp.full(4, 2.5), y)), 0.0)
+
+
+def test_blec_surfaces_constraint_violation():
+    """The blec penalty solve clamps its reported point into the box but must
+    surface the pre-clamp violation (VERDICT.md Weak #5): tiny when the
+    penalty worked, and the info channel exists for when it did not."""
+    import jax.numpy as jnp
+
+    def residual(p, _):
+        # unconstrained optimum pulls p[0] far above the box
+        return jnp.stack([p[0] - 5.0, p[1] - 0.5])
+
+    A = jnp.asarray([[0.0, 1.0]])
+    b = jnp.asarray([0.5])
+    res = levmar_blec(
+        residual, jnp.asarray([0.0, 0.5]), A, b,
+        lower=(0.0, 0.0), upper=(1.0, 1.0),
+        data=None, data_axes=None, opts=LMOptions(itmax=200),
+    )
+    v = float(res.constraint_violation)
+    assert np.isfinite(v)
+    # point is clamped into the box...
+    assert float(res.p[0]) <= 1.0 + 1e-6
+    # ...and the surfaced violation reports the (small) penalty compromise
+    assert 0.0 <= v < 1e-2
+
+
+def test_nlss_counter():
+    """nlss (levmar info[9]): one damped solve per inner damping try; at
+    least one per outer iteration, more when steps get rejected."""
+    import jax.numpy as jnp
+    from brdf_tpu.solver.lm import levmar_bc
+
+    def rosenbrock(p, _):
+        return jnp.stack([10.0 * (p[1] - p[0] ** 2), 1.0 - p[0]])
+
+    res = levmar_bc(rosenbrock, jnp.asarray([-1.2, 1.0]), data_axes=None,
+                    opts=LMOptions(itmax=100))
+    assert int(res.nlss) >= int(res.iters)
+    assert int(res.nlss) <= int(res.nfev)
