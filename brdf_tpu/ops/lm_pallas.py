@@ -406,7 +406,7 @@ def _ne_call(spec, ang_stack, y, w, p_rows, block_t, view_block,
     jax.jit,
     static_argnames=(
         "model", "opts", "lower", "upper", "block_t", "view_block",
-        "axis_name", "interpret",
+        "axis_name", "overlap_slices", "interpret",
     ),
 )
 def lm_fit_pallas_chunked(
@@ -421,13 +421,24 @@ def lm_fit_pallas_chunked(
     block_t: int = 1024,
     view_block: int = 16,
     axis_name: str | None = None,
+    overlap_slices: int = 4,
     interpret: bool = False,
 ) -> PallasFitResult:
     """Chunked-view LM fit: identical math to :func:`lm_fit_pallas` (same
     stop codes, same one-solve-per-iteration damping variant) but with the
     view axis streamed through VMEM in ``view_block`` chunks, so V is
     unbounded; pass ``axis_name`` when the view axis is additionally sharded
-    over a mesh (the per-shard normal equations psum before the solve)."""
+    over a mesh (the per-shard normal equations psum before the solve).
+
+    **Reduction overlap** (SURVEY.md §7 hard part): with a sharded view axis,
+    the texel axis is additionally split into ``overlap_slices`` independent
+    (kernel → psum) chains, so slice k's all-reduce can ride ICI while slice
+    k+1's Jacobian accumulation still computes — XLA's TPU latency-hiding
+    scheduler turns the per-slice all-reduces into async start/done pairs
+    interleaved with the pallas calls (set the
+    ``--xla_tpu_enable_async_collective_fusion`` family of flags; see
+    ``benchmarks/scaling.py``). Semantically identical for any slice count.
+    """
     spec = PALLAS_MODELS[model]
     m = spec.n_params
     if len(lower) != m or len(upper) != m:
@@ -467,11 +478,32 @@ def lm_fit_pallas_chunked(
             [jnp.stack(rows), jnp.zeros((8 - m, tp), jnp.float32)], axis=0
         )
 
+    n_blocks = tp // block_t
+    do_overlap = (
+        axis_name is not None and overlap_slices > 1 and n_blocks >= overlap_slices
+    )
+
+    def _accumulate(pr, with_partials):
+        """Kernel + psum, optionally as independent per-texel-slice chains so
+        the all-reduces overlap the following slices' kernel compute."""
+        if not do_overlap:
+            return reduce_sum(
+                _ne_call(spec, ang_stack, y, w, pr, block_t, view_block,
+                         with_partials, interpret)
+            )
+        per = ((n_blocks + overlap_slices - 1) // overlap_slices) * block_t
+        outs = []
+        for start in range(0, tp, per):
+            sl = slice(start, min(start + per, tp))
+            outs.append(reduce_sum(
+                _ne_call(spec, ang_stack[:, :, sl], y[:, sl], w[:, sl],
+                         pr[:, sl], block_t, view_block, with_partials,
+                         interpret)
+            ))
+        return jnp.concatenate(outs, axis=1)
+
     def ne(pr):
-        out = reduce_sum(
-            _ne_call(spec, ang_stack, y, w, pr, block_t, view_block, True,
-                     interpret)
-        )
+        out = _accumulate(pr, True)
         af = {}
         idx = 1
         for j in range(m):
@@ -482,10 +514,7 @@ def lm_fit_pallas_chunked(
         return out[0], af, g
 
     def chi2_of(pr):
-        return reduce_sum(
-            _ne_call(spec, ang_stack, y, w, pr, block_t, view_block, False,
-                     interpret)
-        )[0]
+        return _accumulate(pr, False)[0]
 
     eps1 = jnp.float32(opts.eps1)
     eps2_sq = jnp.float32(opts.eps2) ** 2
