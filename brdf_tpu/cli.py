@@ -349,6 +349,18 @@ def main(argv=None) -> int:
         help="force a JAX platform (e.g. cpu) — config 1 of the benchmark "
              "ladder is CPU-runnable by design",
     )
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="initialize jax.distributed (one process per host on a pod "
+             "slice) before running; coordinator/process identity come from "
+             "--coordinator/--num-processes/--process-id or the standard "
+             "JAX_COORDINATOR_ADDRESS / cluster environment",
+    )
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (multihost)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   dest="num_processes")
+    p.add_argument("--process-id", type=int, default=None, dest="process_id")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     f = sub.add_parser("fit", help="fit BRDF parameters for a scene")
@@ -420,6 +432,14 @@ def main(argv=None) -> int:
     sub.add_parser("info", help="backend/devices info").set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)
+    if args.multihost:
+        from brdf_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost(
+            coordinator=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     # platform + persistent compile cache (remote TPU compiles cost minutes
     # per miss); must precede any backend use

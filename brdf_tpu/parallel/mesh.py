@@ -17,6 +17,8 @@ sequential stack, no experts (SURVEY.md §2.3).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -71,14 +73,27 @@ def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0, value=0.0):
     return np.pad(x, widths, constant_values=value), size
 
 
-def initialize_multihost(coordinator: str | None = None, num_processes: int | None = None, process_id: int | None = None):
-    """Multi-host bring-up: one process per host on a pod slice.
+def initialize_multihost(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Multi-host bring-up: one process per host on a pod slice
+    (``python -m brdf_tpu --multihost ...``; no reference equivalent —
+    SURVEY.md §2.3). Returns True when a distributed runtime is active.
 
-    Thin wrapper over ``jax.distributed.initialize`` so pipelines have a
-    single entry point; on a single host this is a no-op. (No reference
-    equivalent — SURVEY.md §2.3.)
+    With explicit arguments this calls ``jax.distributed.initialize`` with
+    them; with none, it auto-initializes from the standard cluster
+    environment (``JAX_COORDINATOR_ADDRESS``/TPU metadata) when present and
+    stays a single-process no-op otherwise — so the same CLI invocation
+    works on a laptop and on every host of a slice.
     """
     if jax.process_count() > 1:
-        return  # already initialized
+        return True  # already initialized
     if coordinator is not None:
         jax.distributed.initialize(coordinator, num_processes, process_id)
+        return True
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()   # env/cluster auto-detection
+        return True
+    return False

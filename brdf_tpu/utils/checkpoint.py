@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 import numpy as np
 
@@ -32,39 +33,65 @@ def save_fit_state(
     step: int,
     arrays: dict[str, np.ndarray],
     metadata: dict | None = None,
+    shard_timeout: float = 120.0,
 ) -> str:
-    """Save named arrays + metadata for ``step``. Returns the step directory."""
+    """Save named arrays + metadata for ``step``. Returns the step directory.
+
+    Multi-process protocol (one writer per host on a shared filesystem):
+    every process atomically publishes its own ``shard_<p>.npz`` into the
+    step directory; process 0 then waits for all ``jax.process_count()``
+    shards to appear and publishes ``manifest.json`` **last** — the manifest
+    is the commit record, so readers (and :func:`latest_step`) never observe
+    a half-written step. (The previous design had every process re-publishing
+    the whole directory — a destructive race with >1 process.)
+    """
     d = _step_dir(path, step)
-    tmp = d + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
+    os.makedirs(d, exist_ok=True)
     proc = jax.process_index()
+    tmp = os.path.join(d, f".shard_{proc:04d}.tmp.npz")
     np.savez_compressed(
-        os.path.join(tmp, f"shard_{proc:04d}.npz"),
-        **{k: np.asarray(v) for k, v in arrays.items()},
+        tmp, **{k: np.asarray(v) for k, v in arrays.items()}
     )
+    os.replace(tmp, os.path.join(d, f"shard_{proc:04d}.npz"))
     if proc == 0:
+        expected = jax.process_count()
+        deadline = time.monotonic() + shard_timeout
+        while True:
+            present = [
+                n for n in os.listdir(d)
+                if n.startswith("shard_") and n.endswith(".npz")
+            ]
+            if len(present) >= expected:
+                break
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"step {step}: only {len(present)}/{expected} shards "
+                    f"appeared within {shard_timeout}s"
+                )
+            time.sleep(0.05)
         manifest = {
             "step": step,
-            "num_shards": jax.process_count(),
+            "num_shards": expected,
             "keys": sorted(arrays.keys()),
             "metadata": metadata or {},
         }
-        with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+        mtmp = os.path.join(d, ".manifest.tmp")
+        with open(mtmp, "w") as fh:
             json.dump(manifest, fh, indent=2)
-    # atomic-ish publish
-    if os.path.exists(d):
-        shutil.rmtree(d)
-    os.replace(tmp, d)
+        os.replace(mtmp, os.path.join(d, "manifest.json"))
     return d
 
 
 def latest_step(path: str) -> int | None:
+    """Newest *committed* step (one whose manifest — written last — exists)."""
     if not os.path.isdir(path):
         return None
     steps = [
         int(n.split("_")[1])
         for n in os.listdir(path)
-        if n.startswith("step_") and not n.endswith(".tmp")
+        if n.startswith("step_")
+        and not n.endswith(".tmp")
+        and os.path.exists(os.path.join(path, n, "manifest.json"))
     ]
     return max(steps) if steps else None
 
@@ -80,8 +107,15 @@ def load_fit_state(path: str, step: int | None = None) -> tuple[dict, dict]:
     with open(os.path.join(d, "manifest.json")) as fh:
         manifest = json.load(fh)
     shards = sorted(
-        os.path.join(d, n) for n in os.listdir(d) if n.startswith("shard_")
+        os.path.join(d, n)
+        for n in os.listdir(d)
+        if n.startswith("shard_") and n.endswith(".npz")
     )
+    if len(shards) != manifest["num_shards"]:
+        raise FileNotFoundError(
+            f"step {step}: {len(shards)} shard files but manifest records "
+            f"{manifest['num_shards']}"
+        )
     loaded = [np.load(s) for s in shards]
     arrays = {}
     for key in manifest["keys"]:
@@ -109,8 +143,8 @@ class FitCheckpointer:
         return load_fit_state(self.path, step)
 
     def _prune(self):
-        if not os.path.isdir(self.path):
-            return
+        if jax.process_index() != 0 or not os.path.isdir(self.path):
+            return   # one pruner per run: deletion must not race the writers
         steps = sorted(
             int(n.split("_")[1])
             for n in os.listdir(self.path)

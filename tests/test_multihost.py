@@ -1,0 +1,140 @@
+"""Multi-host machinery: sharded checkpoint assembly and distributed init.
+
+SURVEY.md §2.3's multi-host row, exercised as far as a single machine
+allows: the per-process checkpoint shard protocol (every process publishes
+its shard atomically, process 0 commits the manifest LAST after all shards
+appear) is driven with emulated process identities and — when the local
+runtime permits — with two real ``jax.distributed`` CPU processes.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+import brdf_tpu.utils.checkpoint as ck
+
+
+def _arrays(fill):
+    return {
+        "p": np.full((4, 3), fill, np.float32),
+        "stop": np.full((4,), fill, np.int32),
+    }
+
+
+def test_multi_shard_assembly(tmp_path, monkeypatch):
+    """3 emulated writer processes; the step only commits once all shards
+    are in and proc 0 has written the manifest; assembly preserves process
+    order on axis 0."""
+    path = str(tmp_path)
+    monkeypatch.setattr(ck.jax, "process_count", lambda: 3)
+
+    for i in (2, 1):    # non-zero procs land first, out of order
+        monkeypatch.setattr(ck.jax, "process_index", lambda i=i: i)
+        ck.save_fit_state(path, 5, _arrays(i))
+    # no manifest yet: the step must be invisible to readers
+    assert ck.latest_step(path) is None
+
+    monkeypatch.setattr(ck.jax, "process_index", lambda: 0)
+    ck.save_fit_state(path, 5, _arrays(0), metadata={"model": "m"})
+    assert ck.latest_step(path) == 5
+
+    arrays, meta = ck.load_fit_state(path)
+    assert meta == {"model": "m"}
+    assert arrays["p"].shape == (12, 3)
+    for i in range(3):
+        np.testing.assert_array_equal(arrays["p"][4 * i : 4 * (i + 1)], i)
+        np.testing.assert_array_equal(arrays["stop"][4 * i : 4 * (i + 1)], i)
+
+
+def test_missing_shard_detected(tmp_path, monkeypatch):
+    """A manifest recording more shards than exist must fail the load loudly
+    (a silently short concatenation would corrupt a resume)."""
+    path = str(tmp_path)
+    monkeypatch.setattr(ck.jax, "process_count", lambda: 1)
+    monkeypatch.setattr(ck.jax, "process_index", lambda: 0)
+    d = ck.save_fit_state(path, 1, _arrays(7))
+    man = json.load(open(os.path.join(d, "manifest.json")))
+    man["num_shards"] = 2
+    json.dump(man, open(os.path.join(d, "manifest.json"), "w"))
+    with pytest.raises(FileNotFoundError, match="manifest records"):
+        ck.load_fit_state(path)
+
+
+def test_proc0_times_out_without_peers(tmp_path, monkeypatch):
+    monkeypatch.setattr(ck.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(ck.jax, "process_index", lambda: 0)
+    with pytest.raises(TimeoutError, match="1/2 shards"):
+        ck.save_fit_state(str(tmp_path), 0, _arrays(0), shard_timeout=0.3)
+
+
+_WORKER = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); path = sys.argv[3]
+    jax.distributed.initialize("localhost:%s", nproc, pid)
+    import numpy as np
+    from brdf_tpu.utils.checkpoint import save_fit_state
+    assert jax.process_count() == nproc
+    arrays = {"p": np.full((4, 3), jax.process_index(), np.float32)}
+    save_fit_state(path, 3, arrays, metadata={"n": nproc})
+    jax.distributed.shutdown()
+    print("worker", pid, "done")
+""")
+
+
+def test_two_process_distributed_smoke(tmp_path):
+    """Two real jax.distributed CPU processes each publish their shard;
+    process 0 commits the manifest; the assembled state carries both."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = _WORKER % port
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__)) + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(i), "2", str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for pr in procs:
+            out, _ = pr.communicate(timeout=180)
+            outs.append(out.decode())
+    except subprocess.TimeoutExpired:
+        for pr in procs:
+            pr.kill()
+        pytest.skip("jax.distributed did not come up on this runtime")
+    if any(pr.returncode != 0 for pr in procs):
+        pytest.skip(
+            "jax.distributed unavailable here: " + " | ".join(o[-400:] for o in outs)
+        )
+    arrays, meta = ck.load_fit_state(str(tmp_path))
+    assert meta == {"n": 2}
+    assert arrays["p"].shape == (8, 3)
+    np.testing.assert_array_equal(arrays["p"][:4], 0)
+    np.testing.assert_array_equal(arrays["p"][4:], 1)
+
+
+def test_cli_multihost_single_host_noop():
+    """--multihost on a single host (no coordinator/env) must be a no-op
+    that still runs the command."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__)) + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_COORDINATOR_ADDRESS", None)
+    out = subprocess.run(
+        [sys.executable, "-m", "brdf_tpu", "--platform", "cpu",
+         "--multihost", "presets"],
+        capture_output=True, timeout=180, env=env,
+    )
+    assert out.returncode == 0, out.stderr.decode()[-400:]
