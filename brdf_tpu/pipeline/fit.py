@@ -254,6 +254,8 @@ def fit_per_texel(
     checkpointer=None,
     chunk_iters: int = 0,
     resume: bool = True,
+    lower=None,
+    upper=None,
 ) -> FitReport:
     """Fit every (texel, channel) independently — 3·T problems, batched.
 
@@ -264,6 +266,11 @@ def fit_per_texel(
     IRLS rounds ("huber"/"cauchy"/"tukey") that downweight outlier views
     (shadows, interreflections) and refit warm-started — capabilities the
     reference's raw least squares had no answer to.
+
+    ``lower``/``upper`` override the model's default box (the reference let
+    every call site choose its bounds, ``brdfdata.cpp:1115-1117``); e.g. a
+    physically-plausible reflectance box keeps barely-seen texels from
+    parking unconstrained DOFs at extreme values.
 
     ``checkpointer`` (a :class:`brdf_tpu.utils.checkpoint.FitCheckpointer`)
     with ``chunk_iters > 0`` runs the solve in resumable chunks: full solver
@@ -316,7 +323,8 @@ def fit_per_texel(
         )
     else:
         res = fit_texels_sharded(
-            model, ang_rep, target, mesh, opts=opts, weights=w_rep, engine=engine
+            model, ang_rep, target, mesh, opts=opts, weights=w_rep,
+            engine=engine, lower=lower, upper=upper,
         )
     if robust is not None:
         for _ in range(robust_iters):
@@ -324,7 +332,7 @@ def fit_per_texel(
             w_irls = robust_weights(pred - target, w_rep, kind=robust)
             res = fit_texels_sharded(
                 model, ang_rep, target, mesh, opts=opts, weights=w_irls,
-                p0=res.p, engine=engine,
+                p0=res.p, engine=engine, lower=lower, upper=upper,
             )
 
     res = jax.tree.map(lambda a: np.asarray(a)[: t * c], res)

@@ -125,3 +125,39 @@ def test_sharded_fit_covers_all_param_counts():
         res = fit_texels_sharded(model, ang, y, mesh)
         med = float(jnp.median(res.chi2))
         assert med < 1e-6, (model, med)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (2, 4)])
+def test_sharded_fit_with_production_initializer(mesh_shape):
+    """The production path (linear grid init computed sharded + fit) vs the
+    same pipeline on one device — coarse tolerance (VERDICT.md Weak #7):
+    reduction-order last-ulp differences may flip a handful of
+    non-identifiable texels between equal-χ² basins, but the overwhelming
+    majority of fits and the χ² distribution must agree."""
+    ang, target, true_p = _scene(t=256, seed=7)
+    opts = LMOptions(eps1=1e-8, eps2=1e-9, eps3=1e-18, itmax=60)
+
+    mesh = make_mesh(data=mesh_shape[0], view=mesh_shape[1])
+    res_sharded = fit_texels_sharded("blinn_phong", ang, target, mesh, opts=opts)
+
+    mesh1 = make_mesh(data=1, view=1, devices=jax.devices()[:1])
+    res_single = fit_texels_sharded("blinn_phong", ang, target, mesh1, opts=opts)
+
+    chi2_s = np.asarray(res_sharded.chi2)
+    chi2_1 = np.asarray(res_single.chi2)
+    assert np.median(chi2_s) < 1e-18 and np.median(chi2_1) < 1e-18
+    close = (
+        np.abs(np.asarray(res_sharded.p) - np.asarray(res_single.p))
+        / np.maximum(np.abs(np.asarray(res_single.p)), 1e-3)
+    ).max(-1) < 1e-3
+    # view-sharded reductions reorder every Jacobian contraction, so more
+    # flat-objective texels drift between equal-chi2 stationary points than
+    # under data-only sharding; ~90% identical lanes with equal recovery
+    # (asserted below) is the honest bar for the free-init production path
+    assert close.mean() > 0.85
+    # recovery quality itself must not degrade under sharding
+    err_s = (np.abs(np.asarray(res_sharded.p) - true_p)
+             / np.maximum(np.abs(true_p), 1e-3)).max(-1)
+    err_1 = (np.abs(np.asarray(res_single.p) - true_p)
+             / np.maximum(np.abs(true_p), 1e-3)).max(-1)
+    assert abs((err_s < 1e-2).mean() - (err_1 < 1e-2).mean()) < 0.05
