@@ -9,6 +9,15 @@ from brdf_tpu.solver.lm import (  # noqa: F401
     levmar_bc,
     levmar_lec,
 )
+from brdf_tpu.solver.axb import (  # noqa: F401
+    ax_eq_b_chol,
+    ax_eq_b_ldlt,
+    ax_eq_b_lu,
+    ax_eq_b_qr,
+    ax_eq_b_qrls,
+    ax_eq_b_svd,
+    ldlt_bk,
+)
 from brdf_tpu.solver.constrained import (  # noqa: F401
     levmar_blec,
     levmar_bleic,

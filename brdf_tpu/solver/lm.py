@@ -143,6 +143,13 @@ def _solve_damped(
     - ``"svd"`` — ``AX_EQ_B_SVD`` (``Axb_core.c:855``): pseudo-inverse with a
       relative singular-value cutoff; the robust choice for (numerically)
       singular systems.
+    - ``"ldlt"`` — ``AX_EQ_B_BK`` (``Axb_core.c:1001``): Bunch-Kaufman
+      pivoted LDLᵀ, levmar's own default (``lm_core.c:308``). Pointless
+      extra work for the SPD damped system (hence not *our* default) but
+      provided for exact suite parity; see ``solver/axb.py``.
+
+    The standalone suite (usable outside the LM loop, like levmar's public
+    ``dAx_eq_b_*``) lives in :mod:`brdf_tpu.solver.axb`.
     """
     m = jtj.shape[-1]
     dtype = jtj.dtype
@@ -163,6 +170,10 @@ def _solve_damped(
         cutoff = jnp.finfo(dtype).eps * m * jnp.max(s)
         s_inv = jnp.where(s > cutoff, 1.0 / jnp.maximum(s, jnp.finfo(dtype).tiny), 0.0)
         return vt.T @ (s_inv * (u.T @ b))
+    if method == "ldlt":
+        from brdf_tpu.solver.axb import ax_eq_b_ldlt
+
+        return ax_eq_b_ldlt(a, b)
     raise ValueError(f"unknown linsolver {method!r}")
 
 
