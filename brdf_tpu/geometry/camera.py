@@ -29,13 +29,18 @@ from brdf_tpu.io.cal import TsaiCalibration
 
 
 class Camera(NamedTuple):
-    rotation: jnp.ndarray  # (3, 3) world→camera; rows are camera axes in world
-    position: jnp.ndarray  # (3,) camera center in world coords
-    f: jnp.ndarray         # focal length (pixels)
-    cx: jnp.ndarray
-    cy: jnp.ndarray
-    sx: jnp.ndarray        # horizontal scale factor
-    kappa1: jnp.ndarray    # radial distortion
+    """Fields are host NumPy arrays (same rationale as ``TriangleMesh``: on
+    the tunneled TPU runtime, eager device ops on calibration constants cost
+    roundtrips). The jnp methods below trace to device code when called under
+    ``jit`` and fall back to eager host→device only if called eagerly."""
+
+    rotation: np.ndarray  # (3, 3) world→camera; rows are camera axes in world
+    position: np.ndarray  # (3,) camera center in world coords
+    f: np.ndarray         # focal length (pixels)
+    cx: np.ndarray
+    cy: np.ndarray
+    sx: np.ndarray        # horizontal scale factor
+    kappa1: np.ndarray    # radial distortion
     width: int             # static — image width in pixels
     height: int            # static — image height in pixels
 
@@ -46,13 +51,13 @@ class Camera(NamedTuple):
         cls, cal: TsaiCalibration, width: int, height: int, dtype=jnp.float32
     ) -> "Camera":
         return cls(
-            rotation=jnp.asarray(cal.rotation, dtype=dtype),
-            position=jnp.asarray(cal.p, dtype=dtype),
-            f=jnp.asarray(cal.f, dtype=dtype),
-            cx=jnp.asarray(cal.cx, dtype=dtype),
-            cy=jnp.asarray(cal.cy, dtype=dtype),
-            sx=jnp.asarray(cal.sx, dtype=dtype),
-            kappa1=jnp.asarray(cal.kappa1, dtype=dtype),
+            rotation=np.asarray(cal.rotation, dtype=dtype),
+            position=np.asarray(cal.p, dtype=dtype),
+            f=np.asarray(cal.f, dtype=dtype),
+            cx=np.asarray(cal.cx, dtype=dtype),
+            cy=np.asarray(cal.cy, dtype=dtype),
+            sx=np.asarray(cal.sx, dtype=dtype),
+            kappa1=np.asarray(cal.kappa1, dtype=dtype),
             width=width,
             height=height,
         )
@@ -79,13 +84,13 @@ class Camera(NamedTuple):
         o = np.cross(a, n)                             # down (+v), so v grows downward
         rot = np.stack([n, o, a], axis=0)
         return cls(
-            rotation=jnp.asarray(rot, dtype=dtype),
-            position=jnp.asarray(eye, dtype=dtype),
-            f=jnp.asarray(f, dtype=dtype),
-            cx=jnp.asarray((width - 1) / 2.0, dtype=dtype),
-            cy=jnp.asarray((height - 1) / 2.0, dtype=dtype),
-            sx=jnp.asarray(1.0, dtype=dtype),
-            kappa1=jnp.asarray(0.0, dtype=dtype),
+            rotation=np.asarray(rot, dtype=dtype),
+            position=np.asarray(eye, dtype=dtype),
+            f=np.asarray(f, dtype=dtype),
+            cx=np.asarray((width - 1) / 2.0, dtype=dtype),
+            cy=np.asarray((height - 1) / 2.0, dtype=dtype),
+            sx=np.asarray(1.0, dtype=dtype),
+            kappa1=np.asarray(0.0, dtype=dtype),
             width=width,
             height=height,
         )

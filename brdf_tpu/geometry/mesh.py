@@ -1,9 +1,14 @@
-"""Triangle-mesh container (JAX pytree).
+"""Triangle-mesh container (host-side pytree).
 
 Replaces the mesh side of ``CBRDFdata`` (Eigen ``m_vertices``/``m_faces`` plus
 ``CalcFaceNormals``/``CalcVertexNormals``, ``/root/reference/brdfdata.cpp:289-366``)
-with an immutable NamedTuple of device arrays, so mesh quantities flow straight
-into jitted shading code.
+with an immutable NamedTuple of **host NumPy arrays**. Mesh quantities reach
+the device only as arguments to jitted functions (one ``device_put`` at call
+time): on the tunneled TPU runtime every *eager* device op on a mesh field
+(a fancy-index gather, a slice) costs a roundtrip and possibly a remote
+compile, so host-side problem building (rasterization, per-face gathers,
+angle precompute) must never see device arrays (CLAUDE.md TPU-access
+discipline).
 """
 
 from __future__ import annotations
@@ -19,15 +24,15 @@ from brdf_tpu.io import obj as obj_io
 class TriangleMesh(NamedTuple):
     """An indexed triangle mesh with precomputed shading geometry.
 
-    All arrays are device arrays; ``faces`` is integer and is never
-    differentiated through.
+    All arrays are host NumPy (see module docstring); ``faces`` is integer
+    and is never differentiated through.
     """
 
-    vertices: jnp.ndarray        # (V, 3)
-    faces: jnp.ndarray           # (F, 3) int32
-    face_normals: jnp.ndarray    # (F, 3) unit
-    vertex_normals: jnp.ndarray  # (V, 3) unit
-    centroids: jnp.ndarray       # (F, 3) triangle centers
+    vertices: np.ndarray        # (V, 3)
+    faces: np.ndarray           # (F, 3) int32
+    face_normals: np.ndarray    # (F, 3) unit
+    vertex_normals: np.ndarray  # (V, 3) unit
+    centroids: np.ndarray       # (F, 3) triangle centers
 
     @property
     def num_faces(self) -> int:
@@ -45,11 +50,11 @@ class TriangleMesh(NamedTuple):
         vn = obj_io.vertex_normals(vertices, faces, fn)
         centroids = vertices[faces].mean(axis=1)
         return cls(
-            vertices=jnp.asarray(vertices, dtype=dtype),
-            faces=jnp.asarray(faces),
-            face_normals=jnp.asarray(fn, dtype=dtype),
-            vertex_normals=jnp.asarray(vn, dtype=dtype),
-            centroids=jnp.asarray(centroids, dtype=dtype),
+            vertices=np.asarray(vertices, dtype=dtype),
+            faces=faces,
+            face_normals=np.asarray(fn, dtype=dtype),
+            vertex_normals=np.asarray(vn, dtype=dtype),
+            centroids=np.asarray(centroids, dtype=dtype),
         )
 
     @classmethod

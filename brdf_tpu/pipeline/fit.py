@@ -18,11 +18,13 @@ The TPU replacements for the reference's fit stack (SURVEY.md §3.3-3.4):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from brdf_tpu.models.brdf import (
     MODELS,
@@ -31,7 +33,23 @@ from brdf_tpu.models.brdf import (
     shading_geometry_np,
 )
 from brdf_tpu.parallel.fit import fit_texels_sharded
-from brdf_tpu.parallel.mesh import make_mesh
+from brdf_tpu.parallel.mesh import DATA_AXIS, VIEW_AXIS, make_mesh
+
+
+@functools.lru_cache(maxsize=None)
+def _irls_weights_fn(model: str, kind: str):
+    """One jitted program computing a full IRLS reweighting round
+    (predict → residual → robust weights). Cached per (model, kind) so
+    repeated fits reuse the compiled executable."""
+    from brdf_tpu.solver.robust import robust_weights
+
+    spec = MODELS[model]
+
+    @jax.jit
+    def irls(p, ang, target, w):
+        return robust_weights(spec.fn(p, ang) - target, w, kind=kind)
+
+    return irls
 from brdf_tpu.pipeline.scene import Scene
 from brdf_tpu.solver.init import linear_grid_init
 from brdf_tpu.solver.lm import LMOptions, LMResult, levmar_bc
@@ -297,24 +315,35 @@ def fit_per_texel(
     if mesh is None:
         mesh = make_mesh()
 
-    # fold channels into the batch: angles/weights repeat per channel
+    # fold channels into the batch: angles/weights repeat per channel.
+    # Host NumPy throughout — on the tunneled TPU runtime every eager jnp op
+    # is a device roundtrip (and often a remote compile), so batch shaping
+    # must not touch the device (CLAUDE.md TPU-access discipline).
     ang_rep = jax.tree.map(
-        lambda a: jnp.repeat(a, c, axis=0), problem.angles
+        lambda a: np.repeat(np.asarray(a), c, axis=0), problem.angles
     )
-    target = problem.intensity.transpose(0, 2, 1).reshape(t * c, v)
-    w_rep = jnp.repeat(problem.weights, c, axis=0)
+    target = np.asarray(problem.intensity).transpose(0, 2, 1).reshape(t * c, v)
+    w_rep = np.repeat(np.asarray(problem.weights), c, axis=0)
     if mask_saturation:
-        w_rep = w_rep * saturation_weights(target)
+        w_rep = w_rep * np.asarray(saturation_weights(target))
 
     # pad the batch to the data-axis size
     data_size = mesh.shape["data"]
     pad = (-(t * c)) % data_size
     if pad:
         ang_rep = jax.tree.map(
-            lambda a: jnp.concatenate([a, jnp.repeat(a[:1], pad, 0)]), ang_rep
+            lambda a: np.concatenate([a, np.repeat(a[:1], pad, 0)]), ang_rep
         )
-        target = jnp.concatenate([target, jnp.zeros((pad, v), target.dtype)])
-        w_rep = jnp.concatenate([w_rep, jnp.zeros((pad, v), w_rep.dtype)])
+        target = np.concatenate([target, np.zeros((pad, v), target.dtype)])
+        w_rep = np.concatenate([w_rep, np.zeros((pad, v), w_rep.dtype)])
+
+    # ONE host→device transfer, already in the mesh sharding the engines use
+    # (their internal device_puts then become no-ops — without this, the
+    # initial fit and every IRLS round would re-upload the angle stacks).
+    tv_sharding = NamedSharding(mesh, P(DATA_AXIS, VIEW_AXIS))
+    ang_rep = jax.tree.map(lambda a: jax.device_put(a, tv_sharding), ang_rep)
+    target = jax.device_put(target, tv_sharding)
+    w_rep = jax.device_put(w_rep, tv_sharding)
 
     if checkpointer is not None and chunk_iters > 0:
         res = _fit_chunked(
@@ -327,9 +356,11 @@ def fit_per_texel(
             engine=engine, lower=lower, upper=upper,
         )
     if robust is not None:
+        irls = _irls_weights_fn(model, robust)
         for _ in range(robust_iters):
-            pred = spec.fn(res.p, ang_rep)
-            w_irls = robust_weights(pred - target, w_rep, kind=robust)
+            # one compiled program per round (eager spec.fn would dispatch
+            # dozens of primitives — dozens of tunnel roundtrips)
+            w_irls = irls(res.p, ang_rep, target, w_rep)
             res = fit_texels_sharded(
                 model, ang_rep, target, mesh, opts=opts, weights=w_irls,
                 p0=res.p, engine=engine, lower=lower, upper=upper,
