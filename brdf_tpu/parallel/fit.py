@@ -25,94 +25,33 @@ from brdf_tpu.solver.init import linear_grid_init
 from brdf_tpu.solver.lm import LMOptions, LMResult, levmar_bc
 
 
-def fit_texels_sharded(
-    model: str,
-    angles: ShadingAngles,
-    target: jnp.ndarray,
-    mesh: Mesh,
-    opts: LMOptions | None = None,
-    p0: jnp.ndarray | None = None,
-    weights: jnp.ndarray | None = None,
-    lower=None,
-    upper=None,
-    engine: str = "auto",
-    warm_state=None,
-) -> LMResult:
-    """Fit per-texel BRDF parameters over a ``(data, view)`` device mesh.
+def _resolve_engine(engine: str, mesh_platform: str, model: str) -> str:
+    """Key off the mesh's own platform, not ``jax.default_backend()``: a
+    virtual-CPU validation mesh must pick the lax engine even when a real TPU
+    is this process's default backend (and vice versa)."""
+    if engine != "auto":
+        return engine
+    from brdf_tpu.ops.lm_pallas import PALLAS_MODELS
 
-    Args:
-      model: registered model name.
-      angles: (T, V) cosine pytree; T must divide the ``data`` axis size and
-        V the ``view`` axis size (use :func:`brdf_tpu.parallel.pad_to_multiple`).
-      target: (T, V) measured intensities.
-      mesh: mesh with axes ``(data, view)``.
-      p0: optional (T, m) start; default = linear grid init (computed under
-        jit with sharded inputs, so XLA partitions it across the mesh too).
-      weights: optional (T, V) residual weights (0 masks a measurement).
-      engine: "xla" (lax while_loop solver — any model, views shardable),
-        "pallas" (fused VMEM kernel when the local view axis fits, else the
-        chunked normal-equation kernel that streams view blocks through VMEM
-        and psums the per-shard normal equations when views are sharded),
-        or "auto" (pallas on TPU, xla elsewhere).
-      warm_state: optional (μ, ν, stop) triple of (T,) arrays (e.g.
-        ``prev.warm_state()``) resuming a chunked fit with ``p0=prev.p``;
-        terminated lanes short-circuit. XLA engine only.
+    return "pallas" if mesh_platform == "tpu" and model in PALLAS_MODELS else "xla"
 
-    Returns:
-      A per-texel :class:`LMResult`, sharded over ``data``.
+
+@functools.lru_cache(maxsize=None)
+def _make_fit_block(
+    model: str, mesh: Mesh, opts: LMOptions, lower: tuple, upper: tuple,
+    engine: str,
+):
+    """The shard_map'ped per-block fit step, cached per static config.
+
+    Caching matters twice over on the tunneled TPU runtime: (a) a fresh
+    closure per call would re-trace and re-lower every time, and (b) every
+    *distinct jitted program* pays a large one-time first-execution (upload)
+    cost, so the same block function must be reused — and traced *inline*
+    into larger programs (see :func:`_fit_pipeline_program`) rather than
+    jitted per stage.
     """
     spec = MODELS[model]
-    if opts is None:
-        opts = LMOptions(eps1=1e-7, eps2=1e-8, eps3=1e-14, itmax=60)
-    if lower is None:
-        lower = spec.lower
-    if upper is None:
-        upper = spec.upper
-    if weights is None:
-        weights = jnp.ones_like(target)
-
-    tv_sharding = NamedSharding(mesh, P(DATA_AXIS, VIEW_AXIS))
-    t_sharding = NamedSharding(mesh, P(DATA_AXIS))
-    angles = jax.tree.map(lambda a: jax.device_put(a, tv_sharding), angles)
-    target = jax.device_put(target, tv_sharding)
-    weights = jax.device_put(weights, tv_sharding)
-
-    if p0 is None:
-        # The initializer is elementwise over texels with view reductions —
-        # plain jit over sharded inputs lets XLA insert the (tiny) psums.
-        p0 = jax.jit(
-            functools.partial(linear_grid_init, model),
-            out_shardings=t_sharding,
-        )(angles, target, weights=weights)
-    else:
-        p0 = jax.device_put(p0, t_sharding)
-
-    # Key off the mesh's own platform, not jax.default_backend(): a
-    # virtual-CPU validation mesh must pick the lax engine even when a
-    # real TPU is this process's default backend (and vice versa).
     mesh_platform = mesh.devices.flat[0].platform
-    if engine == "auto":
-        from brdf_tpu.ops.lm_pallas import PALLAS_MODELS
-
-        engine = (
-            "pallas"
-            if mesh_platform == "tpu" and model in PALLAS_MODELS
-            else "xla"
-        )
-    if warm_state is not None and engine == "pallas":
-        raise ValueError("warm_state resume requires the xla engine")
-
-    if warm_state is None:
-        t = target.shape[0]
-        warm = (
-            jnp.zeros((t,), target.dtype),
-            jnp.full((t,), 2.0, target.dtype),
-            jnp.zeros((t,), jnp.int32),
-        )
-    else:
-        warm = tuple(jnp.asarray(w) for w in warm_state)
-    warm = tuple(jax.device_put(w, t_sharding) for w in warm)
-
     opts_sharded = opts._replace(axis_name=VIEW_AXIS)
 
     def residual(p, data):
@@ -122,20 +61,7 @@ def fit_texels_sharded(
     tv_spec = P(DATA_AXIS, VIEW_AXIS)
     t_spec = P(DATA_AXIS)
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(
-            t_spec,
-            jax.tree.map(lambda _: tv_spec, angles),
-            tv_spec,
-            tv_spec,
-            (t_spec, t_spec, t_spec),
-        ),
-        out_specs=jax.tree.map(lambda _: t_spec, _result_structure()),
-        check_vma=False,
-    )
-    def fit_block(p0_blk, angles_blk, target_blk, weights_blk, warm_blk):
+    def fit_block_inner(p0_blk, angles_blk, target_blk, weights_blk, warm_blk):
         if engine == "pallas":
             from brdf_tpu.ops.lm_pallas import (
                 SHADING_KERNELS,
@@ -143,10 +69,7 @@ def fit_texels_sharded(
                 lm_fit_pallas_chunked,
             )
 
-            bounds = dict(
-                lower=tuple(float(x) for x in np.asarray(lower)),
-                upper=tuple(float(x) for x in np.asarray(upper)),
-            )
+            bounds = dict(lower=lower, upper=upper)
             # Interpret mode keeps the pallas path testable on CPU meshes
             # (glacial — only for correctness runs, never the bench).
             interpret = mesh_platform != "tpu"
@@ -196,7 +119,168 @@ def fit_texels_sharded(
             warm_state=warm_blk,
         )
 
-    return jax.jit(fit_block)(p0, angles, target, weights, warm)
+    def fit_block(p0, angles, target, weights, warm):
+        wrapped = shard_map(
+            fit_block_inner,
+            mesh=mesh,
+            in_specs=(
+                t_spec,
+                jax.tree.map(lambda _: tv_spec, angles),
+                tv_spec,
+                tv_spec,
+                (t_spec, t_spec, t_spec),
+            ),
+            out_specs=jax.tree.map(lambda _: t_spec, _result_structure()),
+            check_vma=False,
+        )
+        return wrapped(p0, angles, target, weights, warm)
+
+    return fit_block
+
+
+@functools.lru_cache(maxsize=None)
+def _fit_pipeline_program(
+    model: str, mesh: Mesh, opts: LMOptions, lower: tuple, upper: tuple,
+    engine: str, robust: str | None, robust_iters: int,
+    with_init: bool, dtype_name: str,
+):
+    """ONE jitted program for the whole fit pipeline: (optional) linear grid
+    init → LM fit → ``robust_iters`` IRLS rounds of reweight + warm refit.
+
+    On the tunneled TPU runtime every distinct program pays a large one-time
+    first-execution cost, so the CLI-visible wall time of a fit is dominated
+    by the *number of programs*, not FLOPs. Fusing the pipeline keeps it at
+    exactly one (measured: the same bunny config-3 fit dropped from ~5
+    programs × O(30 s) uploads to one).
+    """
+    spec = MODELS[model]
+    fit_block = _make_fit_block(model, mesh, opts, lower, upper, engine)
+    from brdf_tpu.solver.robust import robust_weights
+
+    def run(p0, angles, target, weights, warm):
+        if with_init:
+            p0 = linear_grid_init(model, angles, target, weights=weights)
+        if robust is None or robust_iters == 0:
+            return fit_block(p0, angles, target, weights, warm)
+
+        # IRLS rounds as a fori_loop over ONE fit_block instance: round 0
+        # selects the caller's weights/start/warm, later rounds the robust
+        # reweighting of the previous round's fit. One instance keeps the
+        # (remote) compile cost flat in the round count.
+        t = target.shape[0]
+        dt = target.dtype
+        warm0 = (
+            jnp.zeros((t,), dt),
+            jnp.full((t,), 2.0, dt),
+            jnp.zeros((t,), jnp.int32),
+        )
+
+        def round_body(i, res):
+            first = i == 0
+            w_irls = robust_weights(
+                spec.fn(res.p, angles) - target, weights, kind=robust
+            )
+            w_i = jnp.where(first, weights, w_irls)
+            p_i = jnp.where(first, p0, res.p)
+            warm_i = jax.tree.map(
+                lambda a, b: jnp.where(first, a, b), warm, warm0
+            )
+            return fit_block(p_i, angles, target, w_i, warm_i)
+
+        shapes = jax.eval_shape(fit_block, p0, angles, target, weights, warm)
+        res0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        return jax.lax.fori_loop(0, robust_iters + 1, round_body, res0)
+
+    return jax.jit(run)
+
+
+def fit_texels_sharded(
+    model: str,
+    angles: ShadingAngles,
+    target: jnp.ndarray,
+    mesh: Mesh,
+    opts: LMOptions | None = None,
+    p0: jnp.ndarray | None = None,
+    weights: jnp.ndarray | None = None,
+    lower=None,
+    upper=None,
+    engine: str = "auto",
+    warm_state=None,
+    robust: str | None = None,
+    robust_iters: int = 0,
+) -> LMResult:
+    """Fit per-texel BRDF parameters over a ``(data, view)`` device mesh.
+
+    Args:
+      model: registered model name.
+      angles: (T, V) cosine pytree; T must divide the ``data`` axis size and
+        V the ``view`` axis size (use :func:`brdf_tpu.parallel.pad_to_multiple`).
+      target: (T, V) measured intensities.
+      mesh: mesh with axes ``(data, view)``.
+      p0: optional (T, m) start; default = linear grid init, traced into the
+        same program as the fit (sharded inputs, so XLA partitions it too).
+      weights: optional (T, V) residual weights (0 masks a measurement).
+      engine: "xla" (lax while_loop solver — any model, views shardable),
+        "pallas" (fused VMEM kernel when the local view axis fits, else the
+        chunked normal-equation kernel that streams view blocks through VMEM
+        and psums the per-shard normal equations when views are sharded),
+        or "auto" (pallas on TPU, xla elsewhere).
+      warm_state: optional (μ, ν, stop) triple of (T,) arrays (e.g.
+        ``prev.warm_state()``) resuming a chunked fit with ``p0=prev.p``;
+        terminated lanes short-circuit. XLA engine only.
+      robust/robust_iters: optional IRLS reweighting rounds
+        ("huber"/"cauchy"/"tukey"), traced into the same program: each round
+        recomputes residual-based weights and refits warm-started from the
+        previous round's parameters.
+
+    Returns:
+      A per-texel :class:`LMResult`, sharded over ``data``.
+
+    The whole pipeline (init + fit + IRLS) executes as ONE jitted program,
+    cached per static configuration — see :func:`_fit_pipeline_program`.
+    """
+    spec = MODELS[model]
+    if opts is None:
+        opts = LMOptions(eps1=1e-7, eps2=1e-8, eps3=1e-14, itmax=60)
+    lower_t = tuple(float(x) for x in np.ravel(np.asarray(
+        spec.lower if lower is None else lower)))
+    upper_t = tuple(float(x) for x in np.ravel(np.asarray(
+        spec.upper if upper is None else upper)))
+    if weights is None:
+        weights = jnp.ones_like(target)
+
+    tv_sharding = NamedSharding(mesh, P(DATA_AXIS, VIEW_AXIS))
+    t_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    angles = jax.tree.map(lambda a: jax.device_put(a, tv_sharding), angles)
+    target = jax.device_put(target, tv_sharding)
+    weights = jax.device_put(weights, tv_sharding)
+
+    engine = _resolve_engine(engine, mesh.devices.flat[0].platform, model)
+    if warm_state is not None and engine == "pallas":
+        raise ValueError("warm_state resume requires the xla engine")
+
+    with_init = p0 is None
+    if not with_init:
+        p0 = jax.device_put(p0, t_sharding)
+    # (p0 stays None under with_init: jit treats None as an empty pytree and
+    # the program computes the init itself, sharded like everything else.)
+
+    if warm_state is None:
+        t = target.shape[0]
+        warm = (
+            jnp.zeros((t,), target.dtype),
+            jnp.full((t,), 2.0, target.dtype),
+            jnp.zeros((t,), jnp.int32),
+        )
+    else:
+        warm = tuple(jnp.asarray(w) for w in warm_state)
+    warm = tuple(jax.device_put(w, t_sharding) for w in warm)
+
+    run = _fit_pipeline_program(
+        model, mesh, opts, lower_t, upper_t, engine,
+        robust, int(robust_iters), with_init, str(np.dtype(target.dtype)),
+    )
+    return run(p0, angles, target, weights, warm)
 
 
 def _result_structure() -> LMResult:

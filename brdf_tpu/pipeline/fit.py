@@ -350,21 +350,23 @@ def fit_per_texel(
             model, ang_rep, target, mesh, opts, w_rep, "xla",
             checkpointer, chunk_iters, resume,
         )
+        if robust is not None:
+            for _ in range(robust_iters):
+                irls = _irls_weights_fn(model, robust)
+                w_irls = irls(res.p, ang_rep, target, w_rep)
+                res = fit_texels_sharded(
+                    model, ang_rep, target, mesh, opts=opts, weights=w_irls,
+                    p0=res.p, engine=engine, lower=lower, upper=upper,
+                )
     else:
+        # init + fit + IRLS rounds trace into ONE device program
+        # (parallel/fit.py::_fit_pipeline_program) — program count, not
+        # FLOPs, dominates wall time on the tunneled runtime.
         res = fit_texels_sharded(
             model, ang_rep, target, mesh, opts=opts, weights=w_rep,
             engine=engine, lower=lower, upper=upper,
+            robust=robust, robust_iters=robust_iters if robust else 0,
         )
-    if robust is not None:
-        irls = _irls_weights_fn(model, robust)
-        for _ in range(robust_iters):
-            # one compiled program per round (eager spec.fn would dispatch
-            # dozens of primitives — dozens of tunnel roundtrips)
-            w_irls = irls(res.p, ang_rep, target, w_rep)
-            res = fit_texels_sharded(
-                model, ang_rep, target, mesh, opts=opts, weights=w_irls,
-                p0=res.p, engine=engine, lower=lower, upper=upper,
-            )
 
     res = jax.tree.map(lambda a: np.asarray(a)[: t * c], res)
     params = res.p.reshape(t, c, spec.n_params)
@@ -401,30 +403,53 @@ def fit_joint_normalmap(
         opts = LMOptions(eps1=1e-7, eps2=1e-8, eps3=1e-14, itmax=40)
 
     if channel_report is not None:
-        chan = jnp.asarray(channel_report.params)          # (T, 3, 3)
+        chan = np.asarray(channel_report.params)           # (T, 3, 3)
     else:
-        cols = []
-        for ch in range(c):
-            cols.append(
-                linear_grid_init(
-                    base_model,
-                    problem.angles,
-                    problem.intensity[..., ch],
-                    weights=problem.weights,
-                )
-            )
-        chan = jnp.stack(cols, axis=1)                      # (T, C, m)
-    p0 = joint_p0_from_channelwise(chan)                    # (T, 9)
-
-    res = levmar_bc(
-        joint_residual(spec),
-        p0,
-        spec.lower,
-        spec.upper,
-        data=(problem.geometry, problem.intensity, problem.weights),
-        opts=opts,
+        chan = None
+    run = _joint_program(base_model, opts, float(max_tilt), chan is not None)
+    res = run(
+        chan, problem.angles, problem.geometry, problem.intensity,
+        problem.weights,
     )
     return res, spec
+
+
+@functools.lru_cache(maxsize=None)
+def _joint_program(base_model: str, opts: LMOptions, max_tilt: float,
+                   with_chan: bool):
+    """One jitted program for the joint normal-map fit: per-channel grid
+    init (unless channel-wise params are supplied) → joint start → bounded
+    LM over the 9-parameter joint model."""
+    from brdf_tpu.models.normalmap import (
+        joint_p0_from_channelwise,
+        joint_residual,
+        joint_spec,
+    )
+
+    spec = joint_spec(base_model, max_tilt=max_tilt)
+
+    @jax.jit
+    def run(chan, angles, geometry, intensity, weights):
+        if not with_chan:
+            def init_one(target):
+                return linear_grid_init(
+                    base_model, angles, target, weights=weights
+                )
+
+            chan_ = jax.vmap(init_one, in_axes=-1, out_axes=1)(intensity)
+        else:
+            chan_ = chan
+        p0 = joint_p0_from_channelwise(chan_)               # (T, 9)
+        return levmar_bc(
+            joint_residual(spec),
+            p0,
+            spec.lower,
+            spec.upper,
+            data=(geometry, intensity, weights),
+            opts=opts,
+        )
+
+    return run
 
 
 def fit_single_material(
@@ -435,31 +460,47 @@ def fit_single_material(
     """One global parameter set per channel over all texels' measurements
     (n = T·V residuals), the ``SolveEquation_SingleBRDF`` path
     (``brdfdata.cpp:991-1075``; itmax there was 2000). Returns (C, m)."""
-    spec = MODELS[model]
-    t, v, c = problem.intensity.shape
     if opts is None:
         opts = LMOptions(eps1=1e-8, eps2=1e-10, eps3=1e-16, itmax=300)
+    # (C, T, V) channel-major so all channels solve in ONE jitted program
+    # (tunneled-runtime discipline: program count dominates wall time)
+    targets = np.ascontiguousarray(
+        np.asarray(problem.intensity, np.float32).transpose(2, 0, 1)
+    )
+    run = _single_material_program(model, opts)
+    return np.asarray(
+        run(problem.angles, targets, np.asarray(problem.weights, np.float32))
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _single_material_program(model: str, opts: LMOptions):
+    """One jitted program: per-channel linear-grid init → global median start
+    → channel-batched box-constrained LM (the batch axis is the color
+    channel; angles/weights broadcast via ``data_axes``)."""
+    spec = MODELS[model]
 
     def residual(p, data):
         ang, y, w = data
         return ((spec.fn(p, ang) - y) * w).reshape(-1)
 
-    out = []
-    for ch in range(c):
-        target = problem.intensity[..., ch]
-        p0 = linear_grid_init(
-            model, problem.angles, target, weights=problem.weights
-        )
-        # collapse per-texel inits to one global start: weighted median
-        p0_global = jnp.median(p0, axis=0)
+    @jax.jit
+    def run(ang, targets, w):
+        def init_one(target):
+            p0 = linear_grid_init(model, ang, target, weights=w)
+            # collapse per-texel inits to one global start: median
+            return jnp.median(p0, axis=0)
+
+        p0_global = jax.vmap(init_one)(targets)          # (C, m)
         res = levmar_bc(
             residual,
             p0_global,
             spec.lower,
             spec.upper,
-            data=(problem.angles, target, problem.weights),
+            data=(ang, targets, w),
             opts=opts,
-            data_axes=None,
+            data_axes=(None, 0, None),
         )
-        out.append(np.asarray(res.p))
-    return np.stack(out)
+        return res.p
+
+    return run
