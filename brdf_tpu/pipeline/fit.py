@@ -190,6 +190,69 @@ class FitReport:
             "max": float(chi2.max()),
         }
 
+    def statistics(self, problem: "TexelProblem") -> dict:
+        """Per-(texel, channel) fit statistics — the post-fit analytics
+        levmar exposed as ``dlevmar_covar/stddev/corcoef/R2``
+        (``levmar/misc_core.c:564-658``; printed in the Meyer demo,
+        ``lmdemo.c:916-925``), vectorized over the whole fit in ONE jitted
+        program. Returns host arrays: ``stddev`` (T, C, m) parameter standard
+        deviations, ``corcoef`` (T, C, m, m) correlation matrices, and ``r2``
+        (T, C) coefficients of determination."""
+        out = _report_statistics_program(self.model)(
+            jnp.asarray(self.params),
+            problem.angles,
+            np.asarray(problem.intensity, np.float32),
+            np.asarray(problem.weights, np.float32),
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
+@functools.lru_cache(maxsize=None)
+def _report_statistics_program(model: str):
+    """One jitted program computing per-(texel, channel) covariance-derived
+    statistics for :meth:`FitReport.statistics`."""
+    from brdf_tpu.solver.stats import corcoef, covariance, stddev
+
+    spec = MODELS[model]
+
+    @jax.jit
+    def run(params, angles, intensity, weights):
+        t, c, m = params.shape
+        v = intensity.shape[1]
+        ang_rep = jax.tree.map(lambda a: jnp.repeat(a, c, axis=0), angles)
+        y = intensity.transpose(0, 2, 1).reshape(t * c, v)
+        w = jnp.repeat(weights, c, axis=0)
+        p = params.reshape(t * c, m)
+
+        def one(p1, ang1, y1, w1):
+            def resid(q):
+                pred = spec.fn(
+                    q[None, :], jax.tree.map(lambda a: a[None, :], ang1)
+                )[0]
+                return (pred - y1) * w1
+
+            r = resid(p1)
+            j = jax.jacfwd(resid)(p1)                      # (V, m)
+            chi2 = jnp.sum(r * r)
+            n_eff = jnp.sum(w1 > 0)
+            cov = covariance(j, chi2, n_eff)
+            pred = y1 + jnp.where(w1 > 0, r / jnp.maximum(w1, 1e-12), 0.0)
+            # weighted R²: zero-weight (masked/saturated) views drop out
+            wsum = jnp.maximum(jnp.sum(w1), 1e-12)
+            ybar = jnp.sum(w1 * y1) / wsum
+            ss_res = jnp.sum((w1 * (y1 - pred)) ** 2)
+            ss_tot = jnp.maximum(jnp.sum((w1 * (y1 - ybar)) ** 2), 1e-30)
+            return cov, 1.0 - ss_res / ss_tot
+
+        cov, r2 = jax.vmap(one)(p, ang_rep, y, w)
+        return {
+            "stddev": stddev(cov).reshape(t, c, m),
+            "corcoef": corcoef(cov).reshape(t, c, m, m),
+            "r2": r2.reshape(t, c),
+        }
+
+    return run
+
 
 def _merge_chunk(acc: LMResult, res: LMResult, active: jnp.ndarray) -> LMResult:
     """Fold one resumed chunk into the accumulated result: lanes that had

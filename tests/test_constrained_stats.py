@@ -149,3 +149,50 @@ def test_nlss_counter():
                     opts=LMOptions(itmax=100))
     assert int(res.nlss) >= int(res.iters)
     assert int(res.nlss) <= int(res.nfev)
+
+
+def test_fit_report_statistics():
+    """FitReport.statistics: the post-fit analytics levmar exposed as
+    dlevmar_covar/stddev/corcoef/R2 (misc_core.c:564-658), on a synthetic
+    exact-recovery fit: R^2 ~ 1, tiny parameter stddevs, unit-diagonal
+    correlation matrices."""
+    import numpy as np
+    import jax.numpy as jnp
+    from brdf_tpu.models.brdf import MODELS, ShadingAngles
+    from brdf_tpu.pipeline.fit import TexelProblem, fit_per_texel
+
+    rng = np.random.default_rng(0)
+    t, v, c = 64, 16, 3
+    ang = ShadingAngles(
+        cos_ln=jnp.asarray(rng.uniform(0, 1, (t, v)), jnp.float32),
+        cos_nh=jnp.asarray(rng.uniform(0, 1, (t, v)), jnp.float32),
+        cos_rv=jnp.asarray(rng.uniform(-1, 1, (t, v)), jnp.float32),
+        cos_vn=jnp.asarray(rng.uniform(0.1, 1, (t, v)), jnp.float32),
+    )
+    spec = MODELS["blinn_phong"]
+    true_p = np.stack([rng.uniform(.2,.8,(t,c)), rng.uniform(.3,.9,(t,c)),
+                       rng.uniform(3,20,(t,c))], -1).astype(np.float32)
+    intensity = np.stack(
+        [np.asarray(spec.fn(jnp.asarray(true_p[:, ch]), ang)) for ch in range(c)],
+        axis=-1,
+    )
+    prob = TexelProblem(
+        angles=ang, intensity=intensity,
+        weights=np.ones((t, v), np.float32),
+        face_ids=np.arange(t),
+    )
+    rep = fit_per_texel(prob, "blinn_phong", mask_saturation=False)
+    stats = rep.statistics(prob)
+    assert stats["stddev"].shape == (t, c, 3)
+    assert stats["corcoef"].shape == (t, c, 3, 3)
+    assert stats["r2"].shape == (t, c)
+    conv = np.isin(np.asarray(rep.result.stop), (1, 2, 6))
+    assert np.median(stats["r2"][conv]) > 0.999
+    # exact data: noise sigma^2 = chi2/dof ~ 0 -> tiny stddevs
+    assert np.median(stats["stddev"][conv]) < 1e-2
+    # correlation diagonals are 1 wherever the covariance is nonzero
+    # (exactly-zero chi2 gives a zero covariance whose correlations are
+    # degenerate by definition — levmar would divide by zero there too)
+    diag = np.diagonal(stats["corcoef"], axis1=-2, axis2=-1)
+    defined = stats["stddev"] > 1e-12
+    assert np.allclose(diag[conv & defined.all(-1)], 1.0, atol=1e-3)
