@@ -26,6 +26,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import logging
+
+logging.basicConfig(level=logging.INFO)
+logging.getLogger("jax._src.compilation_cache").setLevel(logging.DEBUG)
+logging.getLogger("jax._src.compiler").setLevel(logging.DEBUG)
+
 import jax
 
 jax.config.update(

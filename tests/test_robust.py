@@ -74,3 +74,53 @@ def test_robust_weights_shapes_and_range():
         w_np = np.asarray(w)
         assert w_np.shape == target.shape
         assert (w_np >= 0).all() and (w_np <= 1.0 + 1e-6).all()
+
+
+def test_fused_irls_matches_manual_rounds():
+    """The fori_loop-folded IRLS inside _fit_pipeline_program must be
+    semantically identical to running the rounds as separate fits (the
+    pre-fold implementation): same weights, same warm starts."""
+    import numpy as np
+    import jax.numpy as jnp
+    from brdf_tpu.models.brdf import MODELS, ShadingAngles
+    from brdf_tpu.parallel.fit import fit_texels_sharded
+    from brdf_tpu.parallel.mesh import make_mesh
+    from brdf_tpu.solver.lm import LMOptions
+    from brdf_tpu.solver.robust import robust_weights
+
+    rng = np.random.default_rng(5)
+    t, v = 64, 16
+    ang = ShadingAngles(
+        cos_ln=jnp.asarray(rng.uniform(0, 1, (t, v)), jnp.float32),
+        cos_nh=jnp.asarray(rng.uniform(0, 1, (t, v)), jnp.float32),
+        cos_rv=jnp.asarray(rng.uniform(-1, 1, (t, v)), jnp.float32),
+        cos_vn=jnp.asarray(rng.uniform(0.1, 1, (t, v)), jnp.float32),
+    )
+    spec = MODELS["blinn_phong"]
+    true_p = jnp.asarray(
+        np.stack([rng.uniform(.2, .8, t), rng.uniform(.3, .9, t),
+                  rng.uniform(3, 20, t)], -1), jnp.float32)
+    target = np.asarray(spec.fn(true_p, ang))
+    # contaminate ~2 views per texel so IRLS actually reweights
+    bad = rng.random((t, v)) < 0.12
+    target = jnp.asarray(np.where(bad, target + 0.5, target), jnp.float32)
+
+    mesh = make_mesh()
+    opts = LMOptions(eps1=1e-7, eps2=1e-8, eps3=1e-14, itmax=40)
+
+    fused = fit_texels_sharded("blinn_phong", ang, target, mesh, opts=opts,
+                               robust="huber", robust_iters=2)
+
+    res = fit_texels_sharded("blinn_phong", ang, target, mesh, opts=opts)
+    w0 = jnp.ones_like(target)
+    for _ in range(2):
+        w = robust_weights(spec.fn(res.p, ang) - target, w0, kind="huber")
+        res = fit_texels_sharded("blinn_phong", ang, target, mesh, opts=opts,
+                                 weights=w, p0=res.p)
+
+    # one fused program vs three separate ones reorders f32 accumulations;
+    # agreement is to roundoff (measured max rel diff ~7e-4), not bit-exact
+    np.testing.assert_allclose(np.asarray(fused.p), np.asarray(res.p),
+                               rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fused.chi2), np.asarray(res.chi2),
+                               rtol=5e-3, atol=1e-6)
