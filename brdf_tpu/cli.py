@@ -129,6 +129,15 @@ def cmd_fit(args) -> int:
         fit_summary_event(report.result)
         arrays = {"params": report.params, "face_ids": report.face_ids,
                   "chi2": np.asarray(report.result.chi2)}
+        if getattr(args, "stats", False):
+            # levmar-style post-fit analytics (dlevmar_covar/stddev/R2) —
+            # opt-in: one extra device program
+            stats = report.statistics(problem)
+            arrays["stddev"] = stats["stddev"]
+            arrays["r2"] = stats["r2"]
+            log("fit_statistics",
+                r2_median=float(np.nanmedian(stats["r2"])),
+                stddev_median=float(np.nanmedian(stats["stddev"])))
         if problem.pixels is not None:
             arrays["pixels"] = problem.pixels
             arrays["points"] = problem.points
@@ -374,6 +383,8 @@ def main(argv=None) -> int:
                    choices=["none", "huber", "cauchy", "tukey"],
                    help="IRLS robust reweighting for ad-hoc --scene fits")
     f.add_argument("--out")
+    f.add_argument("--stats", action="store_true",
+                   help="save per-texel stddev/R² (levmar dlevmar_covar-style)")
     f.add_argument("--chunk-iters", type=int, default=0, dest="chunk_iters",
                    help="checkpoint solver state every N outer iterations "
                         "(per-texel fits; a killed run resumes automatically)")
