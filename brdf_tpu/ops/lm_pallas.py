@@ -347,11 +347,17 @@ def _ne_rows(m: int) -> int:
     return 1 + m * (m + 1) // 2 + m
 
 
-def _ne_kernel(angles_ref, y_ref, w_ref, p_ref, out_ref, *, spec, with_partials):
+def _ne_kernel(angles_ref, y_ref, w_ref, p_ref, out_ref, *, spec, mode):
     """One (texel-block, view-chunk) step: evaluate the lobe + partials on the
-    chunk and accumulate χ²/JᵀJ/Jᵀe into the block's output rows (zeroed on
-    the first chunk). ``with_partials=False`` accumulates χ² only (the trial
-    point evaluation; the partial computations are dead-code-eliminated)."""
+    chunk and accumulate into the block's output rows (zeroed on the first
+    chunk). ``mode``:
+
+    - ``"chi2"`` — χ² only (the trial-point evaluation; all partial
+      computations are dead-code-eliminated),
+    - ``"grad"`` — χ² + Jᵀe (one fused loss+gradient pass: the fwd+bwd of
+      the data-fit loss in a single read of the angle data),
+    - ``"full"`` — χ² + upper-tri JᵀJ + Jᵀe (the LM normal equations).
+    """
     m = spec.n_params
     angles = tuple(angles_ref[a] for a in range(len(spec.angle_names)))
     p = tuple(p_ref[j : j + 1, :] for j in range(m))
@@ -365,11 +371,12 @@ def _ne_kernel(angles_ref, y_ref, w_ref, p_ref, out_ref, *, spec, with_partials)
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     acc = [_row_sum(r * r)]
-    if with_partials:
+    if mode == "full":
         w2 = w * w
         for j in range(m):
             for k in range(j, m):
                 acc.append(_row_sum(d[j] * d[k] * w2))
+    if mode in ("full", "grad"):
         for j in range(m):
             acc.append(_row_sum(d[j] * r * w))
     rows = len(acc)
@@ -377,12 +384,13 @@ def _ne_kernel(angles_ref, y_ref, w_ref, p_ref, out_ref, *, spec, with_partials)
 
 
 def _ne_call(spec, ang_stack, y, w, p_rows, block_t, view_block,
-             with_partials, interpret):
+             mode, interpret):
     a, vp, tp = ang_stack.shape
-    rows = _ne_rows(spec.n_params) if with_partials else 1
+    m = spec.n_params
+    rows = {"chi2": 1, "grad": 1 + m, "full": _ne_rows(m)}[mode]
     rows_p = ((rows + 7) // 8) * 8
     out = pl.pallas_call(
-        functools.partial(_ne_kernel, spec=spec, with_partials=with_partials),
+        functools.partial(_ne_kernel, spec=spec, mode=mode),
         grid=(tp // block_t, vp // view_block),
         in_specs=[
             pl.BlockSpec((a, view_block, block_t), lambda i, j: (0, j, i),
@@ -483,13 +491,13 @@ def lm_fit_pallas_chunked(
         axis_name is not None and overlap_slices > 1 and n_blocks >= overlap_slices
     )
 
-    def _accumulate(pr, with_partials):
+    def _accumulate(pr, mode):
         """Kernel + psum, optionally as independent per-texel-slice chains so
         the all-reduces overlap the following slices' kernel compute."""
         if not do_overlap:
             return reduce_sum(
                 _ne_call(spec, ang_stack, y, w, pr, block_t, view_block,
-                         with_partials, interpret)
+                         mode, interpret)
             )
         per = ((n_blocks + overlap_slices - 1) // overlap_slices) * block_t
         outs = []
@@ -497,13 +505,13 @@ def lm_fit_pallas_chunked(
             sl = slice(start, min(start + per, tp))
             outs.append(reduce_sum(
                 _ne_call(spec, ang_stack[:, :, sl], y[:, sl], w[:, sl],
-                         pr[:, sl], block_t, view_block, with_partials,
+                         pr[:, sl], block_t, view_block, mode,
                          interpret)
             ))
         return jnp.concatenate(outs, axis=1)
 
     def ne(pr):
-        out = _accumulate(pr, True)
+        out = _accumulate(pr, "full")
         af = {}
         idx = 1
         for j in range(m):
@@ -514,7 +522,7 @@ def lm_fit_pallas_chunked(
         return out[0], af, g
 
     def chi2_of(pr):
-        return _accumulate(pr, False)[0]
+        return _accumulate(pr, "chi2")[0]
 
     eps1 = jnp.float32(opts.eps1)
     eps2_sq = jnp.float32(opts.eps2) ** 2
@@ -736,3 +744,57 @@ def lm_fit_pallas(
         g_inf=out[8],
         mu=out[9],
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "block_t", "view_block", "interpret"),
+)
+def shading_value_and_grad_pallas(
+    model: str,
+    params: jnp.ndarray,      # (T, m)
+    angles: ShadingAngles,    # channels (T, V)
+    target: jnp.ndarray,      # (T, V)
+    weights: jnp.ndarray | None = None,
+    block_t: int = 2048,
+    view_block: int = 16,
+    interpret: bool = False,
+):
+    """Per-texel data-fit loss and its parameter gradient in ONE fused pass.
+
+    Returns ``(chi2 (T,), g (T, m))`` with ``chi2 = Σ_v (w·(I−y))²`` and
+    ``g = ∂(χ²/2)/∂params`` — i.e. the forward *and* backward of the fit
+    residual loss from a single read of the angle data (the ``"grad"`` mode
+    of the normal-equation kernel, view-chunked through VMEM like the rest
+    of the chunked engine).
+
+    This is the op every LM iteration actually evaluates. Composing the
+    standalone shading kernel with an XLA loss costs two passes over the
+    angle stack (forward, then backward recompute) — the same two passes
+    XLA's own autodiff fusion makes, so the kernels tie at the bandwidth
+    roofline. Fusing the loss reduction *into* the kernel halves the
+    traffic; ``bench.py`` measures this against XLA's ``value_and_grad`` of
+    the identical loss.
+    """
+    spec = PALLAS_MODELS[model]
+    m = spec.n_params
+    t, v = target.shape
+    if weights is None:
+        weights = jnp.ones_like(target)
+    pad_t = (-t) % block_t
+    tp = t + pad_t
+    view_block = min(view_block, v)
+    pad_v = (-v) % view_block
+
+    def prep(x):  # (T, V) → (Vp, Tp); padded views carry zero weight
+        return jnp.pad(x.astype(jnp.float32).T, ((0, pad_v), (0, pad_t)))
+
+    ang_stack = jnp.stack(
+        [prep(getattr(angles, name)) for name in spec.angle_names]
+    )
+    y = prep(target)
+    w = prep(weights)
+    p_rows = jnp.pad(params.astype(jnp.float32).T, ((0, 8 - m), (0, pad_t)))
+    out = _ne_call(spec, ang_stack, y, w, p_rows, min(block_t, tp),
+                   view_block, "grad", interpret)
+    return out[0, :t], out[1 : 1 + m, :t].T

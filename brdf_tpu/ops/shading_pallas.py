@@ -534,14 +534,28 @@ def _fwd_kernel(angles_ref, p_ref, out_ref, *, spec: ShadingKernelSpec):
     out_ref[...] = i_val
 
 
-def _bwd_kernel(angles_ref, p_ref, ct_ref, dp_ref, dang_ref, *, spec):
+def _bwd_params_kernel(angles_ref, p_ref, ct_ref, dp_ref, *, spec):
+    """Parameter cotangents only. Split from the angle kernel so that when a
+    caller differentiates w.r.t. params alone (the per-texel fit hot path),
+    XLA dead-code-eliminates the angle pass entirely — the fused dual-output
+    kernel forced ~A·V·T of cotangent writes on every backward even when the
+    angle gradients were discarded (measured: 0.86× the XLA fusion; split:
+    the params-only backward carries no angle traffic at all)."""
     angles, params = _unpack(angles_ref, p_ref, spec)
-    _, d_params, d_angles = spec.eval(angles, params)
+    _, d_params, _ = spec.eval(angles, params)
     ct = ct_ref[...]
     for j in range(spec.n_params):
         dp_ref[j : j + 1, :] = jnp.sum(d_params[j] * ct, axis=0, keepdims=True)
     for j in range(spec.n_params, _P_ROWS):
         dp_ref[j : j + 1, :] = jnp.zeros_like(p_ref[0:1, :])
+
+
+def _bwd_angles_kernel(angles_ref, p_ref, ct_ref, dang_ref, *, spec):
+    """Angle cotangents only (the joint normal-map path, where gradients flow
+    through the angles into normal offsets)."""
+    angles, params = _unpack(angles_ref, p_ref, spec)
+    _, _, d_angles = spec.eval(angles, params)
+    ct = ct_ref[...]
     for a in range(len(spec.angle_names)):
         dang_ref[a] = d_angles[a] * ct
 
@@ -577,19 +591,27 @@ def _shade_vt_bwd(model, block_t, interpret, res, ct):
     spec = SHADING_KERNELS[model]
     ang_stack, p_rows = res
     a, v, tp = ang_stack.shape
-    dp, dang = pl.pallas_call(
-        functools.partial(_bwd_kernel, spec=spec),
+    ct_spec = pl.BlockSpec((v, block_t), lambda i: (0, i), memory_space=pltpu.VMEM)
+    # Two independent pallas calls: whichever cotangent the caller discards
+    # is dead code XLA removes (see _bwd_params_kernel docstring). When both
+    # are live the forward pieces recompute twice — each pass is
+    # bandwidth-bound, so that costs one extra angle read, not 2× time.
+    dp = pl.pallas_call(
+        functools.partial(_bwd_params_kernel, spec=spec),
         grid=(tp // block_t,),
-        in_specs=_specs_for(a, v, block_t)
-        + [pl.BlockSpec((v, block_t), lambda i: (0, i), memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec((_P_ROWS, block_t), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((a, v, block_t), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((_P_ROWS, tp), jnp.float32),
-            jax.ShapeDtypeStruct((a, v, tp), jnp.float32),
-        ],
+        in_specs=_specs_for(a, v, block_t) + [ct_spec],
+        out_specs=pl.BlockSpec((_P_ROWS, block_t), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_P_ROWS, tp), jnp.float32),
+        interpret=interpret,
+    )(ang_stack, p_rows, ct)
+    dang = pl.pallas_call(
+        functools.partial(_bwd_angles_kernel, spec=spec),
+        grid=(tp // block_t,),
+        in_specs=_specs_for(a, v, block_t) + [ct_spec],
+        out_specs=pl.BlockSpec((a, v, block_t), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((a, v, tp), jnp.float32),
         interpret=interpret,
     )(ang_stack, p_rows, ct)
     return dang, dp

@@ -142,3 +142,34 @@ def test_sharded_views_pallas_engine():
         / np.maximum(np.abs(np.asarray(res_single.p)), 1e-3)
     ).max(-1) < 1e-2
     assert close_p.mean() > 0.9
+
+
+@pytest.mark.parametrize("model", ["blinn_phong", "cook_torrance"])
+def test_shading_value_and_grad_fused(model):
+    """The one-pass fused loss+gradient kernel (_ne_kernel mode='grad')
+    must match value_and_grad of the jnp lobe: chi2 per texel and
+    d(chi2/2)/dparams, including weights and non-divisible padding."""
+    from brdf_tpu.ops.lm_pallas import shading_value_and_grad_pallas
+
+    spec = MODELS[model]
+    t, v = 70, 5          # deliberately not multiples of the block sizes
+    ang, target, true_p = _problem(model, t, v, seed=3)
+    rng = np.random.default_rng(4)
+    params = jnp.asarray(true_p * rng.uniform(0.8, 1.2, true_p.shape),
+                         jnp.float32)
+    w = jnp.asarray(rng.uniform(0.2, 1.0, (t, v)), jnp.float32)
+
+    chi2, g = shading_value_and_grad_pallas(
+        model, params, ang, target, weights=w,
+        block_t=128, view_block=4, interpret=True,
+    )
+
+    def half_chi2_total(p):
+        r = (spec.fn(p, ang) - target) * w
+        return 0.5 * jnp.sum(r * r), jnp.sum(r * r, axis=-1)
+
+    (_, ref_chi2), g_ref = jax.value_and_grad(half_chi2_total, has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(chi2), np.asarray(ref_chi2),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=5e-4, atol=5e-5)
