@@ -347,7 +347,7 @@ def _ne_rows(m: int) -> int:
     return 1 + m * (m + 1) // 2 + m
 
 
-def _ne_kernel(angles_ref, y_ref, w_ref, p_ref, out_ref, *, spec, mode):
+def _ne_kernel(angles_ref, y_ref, *rest, spec, mode, with_weights=True):
     """One (texel-block, view-chunk) step: evaluate the lobe + partials on the
     chunk and accumulate into the block's output rows (zeroed on the first
     chunk). ``mode``:
@@ -358,13 +358,26 @@ def _ne_kernel(angles_ref, y_ref, w_ref, p_ref, out_ref, *, spec, mode):
       the data-fit loss in a single read of the angle data),
     - ``"full"`` — χ² + upper-tri JᵀJ + Jᵀe (the LM normal equations).
     """
+    if with_weights:
+        w_ref, p_ref, out_ref = rest
+    else:
+        # unweighted variant (``weights=None`` fast path): no w input at
+        # all — one fewer (V, T) HBM read per pass
+        p_ref, out_ref = rest
     m = spec.n_params
     angles = tuple(angles_ref[a] for a in range(len(spec.angle_names)))
     p = tuple(p_ref[j : j + 1, :] for j in range(m))
     y = y_ref[...]
-    w = w_ref[...]
     i_val, d, _ = spec.eval(angles, p)
-    r = (i_val - y) * w
+    if with_weights:
+        w = w_ref[...]
+        r = (i_val - y) * w
+        rw = r * w
+        w2 = w * w
+    else:
+        r = i_val - y
+        rw = r
+        w2 = None
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -372,41 +385,51 @@ def _ne_kernel(angles_ref, y_ref, w_ref, p_ref, out_ref, *, spec, mode):
 
     acc = [_row_sum(r * r)]
     if mode == "full":
-        w2 = w * w
         for j in range(m):
             for k in range(j, m):
-                acc.append(_row_sum(d[j] * d[k] * w2))
+                dd = d[j] * d[k]
+                acc.append(_row_sum(dd * w2 if with_weights else dd))
     if mode in ("full", "grad"):
         for j in range(m):
-            acc.append(_row_sum(d[j] * r * w))
+            acc.append(_row_sum(d[j] * rw))
     rows = len(acc)
     out_ref[0:rows, :] = out_ref[0:rows, :] + jnp.concatenate(acc, axis=0)
 
 
 def _ne_call(spec, ang_stack, y, w, p_rows, block_t, view_block,
              mode, interpret):
+    """``w=None`` selects the unweighted kernel variant (one fewer (V, T)
+    HBM read per pass)."""
     a, vp, tp = ang_stack.shape
     m = spec.n_params
+    with_weights = w is not None
     rows = {"chi2": 1, "grad": 1 + m, "full": _ne_rows(m)}[mode]
     rows_p = ((rows + 7) // 8) * 8
+    vt_spec = pl.BlockSpec((view_block, block_t), lambda i, j: (j, i),
+                           memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((a, view_block, block_t), lambda i, j: (0, j, i),
+                     memory_space=pltpu.VMEM),
+        vt_spec,
+    ]
+    args = [ang_stack, y]
+    if with_weights:
+        in_specs.append(vt_spec)
+        args.append(w)
+    in_specs.append(
+        pl.BlockSpec((8, block_t), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    )
+    args.append(p_rows)
     out = pl.pallas_call(
-        functools.partial(_ne_kernel, spec=spec, mode=mode),
+        functools.partial(_ne_kernel, spec=spec, mode=mode,
+                          with_weights=with_weights),
         grid=(tp // block_t, vp // view_block),
-        in_specs=[
-            pl.BlockSpec((a, view_block, block_t), lambda i, j: (0, j, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((view_block, block_t), lambda i, j: (j, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((view_block, block_t), lambda i, j: (j, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block_t), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((rows_p, block_t), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_p, tp), jnp.float32),
         interpret=interpret,
-    )(ang_stack, y, w, p_rows)
+    )(*args)
     return out
 
 
@@ -779,8 +802,6 @@ def shading_value_and_grad_pallas(
     spec = PALLAS_MODELS[model]
     m = spec.n_params
     t, v = target.shape
-    if weights is None:
-        weights = jnp.ones_like(target)
     pad_t = (-t) % block_t
     tp = t + pad_t
     view_block = min(view_block, v)
@@ -789,11 +810,18 @@ def shading_value_and_grad_pallas(
     def prep(x):  # (T, V) → (Vp, Tp); padded views carry zero weight
         return jnp.pad(x.astype(jnp.float32).T, ((0, pad_v), (0, pad_t)))
 
+    # weights=None with no view padding takes the unweighted kernel variant
+    # (one fewer (V, T) HBM read); view padding needs zero weights to mask
+    # the pad rows, so it falls back to explicit ones.
+    if weights is None and pad_v == 0:
+        w = None
+    else:
+        w = prep(jnp.ones_like(target) if weights is None else weights)
+
     ang_stack = jnp.stack(
         [prep(getattr(angles, name)) for name in spec.angle_names]
     )
     y = prep(target)
-    w = prep(weights)
     p_rows = jnp.pad(params.astype(jnp.float32).T, ((0, 8 - m), (0, pad_t)))
     out = _ne_call(spec, ang_stack, y, w, p_rows, min(block_t, tp),
                    view_block, "grad", interpret)

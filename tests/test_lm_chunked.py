@@ -173,3 +173,19 @@ def test_shading_value_and_grad_fused(model):
                                rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=5e-4, atol=5e-5)
+
+    # weights=None with view_block dividing V exercises the unweighted
+    # kernel variant (no w input at all)
+    chi2_u, g_u = shading_value_and_grad_pallas(
+        model, params, ang, target, block_t=128, view_block=5, interpret=True,
+    )
+
+    def half_chi2_unweighted(p):
+        r = spec.fn(p, ang) - target
+        return 0.5 * jnp.sum(r * r), jnp.sum(r * r, axis=-1)
+
+    (_, ref_u), g_ref_u = jax.value_and_grad(half_chi2_unweighted, has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(chi2_u), np.asarray(ref_u),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_u), np.asarray(g_ref_u),
+                               rtol=5e-4, atol=5e-5)
