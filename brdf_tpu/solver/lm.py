@@ -185,13 +185,22 @@ def _lm_single(
     upper: jnp.ndarray,
     opts: LMOptions,
     warm: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    secant_refresh: int = 0,
 ) -> LMResult:
     """One box-constrained LM solve (vmapped by the public wrappers).
 
     ``warm`` is an optional ``(μ0, ν0, stop0)`` resume state (SURVEY.md §5
     checkpoint/resume): μ0≤0 or non-finite means "initialize μ from
     τ·max diag(JᵀJ)" as usual; a non-RUNNING ``stop0`` short-circuits the
-    solve (the lane already terminated in an earlier chunk)."""
+    solve (the lane already terminated in an earlier chunk).
+
+    ``secant_refresh > 0`` enables Broyden rank-1 secant Jacobian updates
+    between full re-evaluations every ``secant_refresh`` iterations — the
+    ``LEVMAR_DIF`` secant scheme (``lm_core.c:578-588, 759-769``). Genuinely
+    cheaper only for *unbatched* solves (``lax.cond`` takes one branch): the
+    large-n single-material fit. Under ``vmap`` the cond lowers to a select
+    that evaluates both branches every iteration, which is why the batched
+    texel path defaults to forward-mode AD instead (COMPONENTS.md N2)."""
     dtype = p0.dtype
     eps1 = jnp.asarray(opts.eps1, dtype)
     eps2 = jnp.asarray(opts.eps2, dtype)
@@ -252,7 +261,9 @@ def _lm_single(
         return (s.stop == StopReason.RUNNING) & (s.iters < opts.itmax)
 
     def body(s: _State) -> _State:
-        j = jac_fn(s.p)                       # (n, m)
+        return _step(s, jac_fn(s.p), jnp.int32(1))
+
+    def _step(s: _State, j: jnp.ndarray, njev_inc) -> _State:
         jtj = reduce_sum(j.T @ j)             # (m, m)
         g = reduce_sum(j.T @ s.e)             # (m,)
 
@@ -384,11 +395,39 @@ def _lm_single(
             iters=s.iters + 1,
             stop=stop,
             nfev=t.nfev,
-            njev=s.njev + 1,
+            njev=s.njev + njev_inc,
             nlss=s.nlss + t.tries,   # one damped solve per inner try (info[9])
         )
 
-    final = jax.lax.while_loop(cond, body, init)
+    if secant_refresh > 0:
+        # Broyden carry: (state, J, point/residual J is valid at, age).
+        jac0 = jac_fn(p0)
+        carry0 = (init._replace(njev=jnp.int32(1)), jac0, p0, e0, jnp.int32(0))
+
+        def cond2(c):
+            return cond(c[0])
+
+        def body2(c):
+            s, jac_c, p_prev, e_prev, age = c
+            dp_s = s.p - p_prev
+            de_s = s.e - e_prev
+            den = jnp.dot(dp_s, dp_s)
+            tiny = jnp.finfo(dtype).tiny
+            # rank-1 secant: J += ((Δe − J Δp) Δpᵀ)/‖Δp‖² (lm_core.c:578-588)
+            j_upd = jac_c + jnp.outer(
+                de_s - jac_c @ dp_s, dp_s
+            ) / jnp.maximum(den, tiny)
+            j_upd = jnp.where(den > tiny, j_upd, jac_c)
+            j, age_n, dj = jax.lax.cond(
+                age >= secant_refresh,
+                lambda: (jac_fn(s.p), jnp.int32(0), jnp.int32(1)),
+                lambda: (j_upd, age + jnp.int32(1), jnp.int32(0)),
+            )
+            return (_step(s, j, dj), j, s.p, s.e, age_n)
+
+        final = jax.lax.while_loop(cond2, body2, carry0)[0]
+    else:
+        final = jax.lax.while_loop(cond, body, init)
     stop = jnp.where(
         final.stop == StopReason.RUNNING,
         jnp.int32(StopReason.MAX_ITERATIONS),
@@ -441,6 +480,7 @@ def levmar_bc(
     jac_mode: str = "auto",
     warm_state=None,
     dscl=None,
+    secant_refresh: int = 10,
 ) -> LMResult:
     """Box-constrained LM (replaces ``dlevmar_bc_der``/``dlevmar_bc_dif``,
     ``levmar/levmar.h:126-146``).
@@ -458,9 +498,13 @@ def levmar_bc(
         forward-mode autodiff.
       data_axes: vmap axes for ``data`` (``None`` to broadcast shared data).
       jac_mode: "auto" (forward-mode AD), "fd" (forward differences — the
-        ``*_dif`` behavior, ``misc_core.c:137-172``), or "fd_central".
-        Ignored when ``jac_fn`` is given. AD is exact and the default; FD
-        exists for parity/validation against non-differentiable residuals.
+        ``*_dif`` behavior, ``misc_core.c:137-172``), "fd_central", or
+        "secant" (Broyden rank-1 updates between full-FD refreshes every
+        ``secant_refresh`` iterations — ``LEVMAR_DIF``'s scheme,
+        ``lm_core.c:578-588``; worthwhile for *unbatched* large-n solves,
+        see ``_lm_single``). Ignored when ``jac_fn`` is given. AD is exact
+        and the default; FD/secant exist for parity/validation and for
+        non-differentiable residuals.
       warm_state: optional ``(μ, ν, stop)`` triple — typically
         ``prev.warm_state()`` from an earlier :class:`LMResult` — that resumes
         a chunked fit exactly where it left off (with ``p0 = prev.p``): damping
@@ -489,6 +533,7 @@ def levmar_bc(
         res = levmar_bc(
             residual_fn, p0, lower, upper, data=data, opts=opts, jac_fn=jac_fn,
             data_axes=data_axes, jac_mode=jac_mode, warm_state=warm_state,
+            secant_refresh=secant_refresh,
         )
         return res._replace(p=res.p * dscl)
 
@@ -497,13 +542,16 @@ def levmar_bc(
     elif jac_mode == "auto":
         def jac_of(p, d):
             return jax.jacfwd(lambda q: residual_fn(q, d))(p)
-    elif jac_mode in ("fd", "fd_central"):
+    elif jac_mode in ("fd", "fd_central", "secant"):
+        # "secant" refreshes via forward differences like LEVMAR_DIF
+        # (lmbc_core.c:1043-1054) and Broyden-updates in between
         def jac_of(p, d):
             return fd_jacobian(
                 residual_fn, p, d, central=(jac_mode == "fd_central")
             )
     else:
         raise ValueError(f"unknown jac_mode {jac_mode!r}")
+    secant_k = int(secant_refresh) if jac_mode == "secant" else 0
 
     lower_b, upper_b = _prep_bounds(p0, lower, upper)
 
@@ -526,6 +574,7 @@ def levmar_bc(
             upper_b,
             opts,
             warm=warm_i,
+            secant_refresh=secant_k,
         )
 
     if batched:
