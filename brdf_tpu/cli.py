@@ -199,6 +199,65 @@ def _parse_env(spec: str) -> np.ndarray:
     return np.asarray(np.load(spec), np.float64)
 
 
+def cmd_export(args) -> int:
+    """Write fitted-parameter maps and summary statistics.
+
+    The reference's only inspection of the fit was printing kd/ks/n averages
+    to stdout (``brdfdata.cpp:1224-1226``); this exports each parameter as a
+    min-max-normalized image laid out by a view's raster map, the raw arrays
+    (npz), and per-channel mean/median/min/max stats (summary.json). Pure
+    host-side NumPy — no device programs."""
+    from brdf_tpu.models.brdf import MODELS
+
+    arrays, meta, cfg = _load_run(args.run)
+    scene = _build_scene(cfg)
+    params, face_ids, _ = _expand_params(arrays, meta, scene)   # (T, C, m)
+    spec = MODELS[cfg.model.model]
+    out = args.out or os.path.join(args.run, "maps")
+    os.makedirs(out, exist_ok=True)
+
+    t, c, m = params.shape
+    cam = scene.cameras[args.view]
+    if arrays.get("pixels") is not None:
+        # pixel-granularity fit: texels ARE pixels of the fit's reference view
+        px = np.asarray(arrays["pixels"])
+
+        def to_image(vals):                     # (T, C) → (H, W, C)
+            img = np.zeros((cam.height, cam.width, c), np.float32)
+            img[px[:, 1], px[:, 0]] = vals
+            return img
+    else:
+        rm = scene.raster_map(args.view)
+        lut = np.full(scene.mesh.num_faces, -1, np.int64)
+        lut[np.asarray(face_ids)] = np.arange(t)
+        fid = rm.face_id
+        cov = (fid >= 0) & (lut[np.maximum(fid, 0)] >= 0)
+
+        def to_image(vals):
+            img = np.zeros((*fid.shape, c), np.float32)
+            img[cov] = vals[lut[fid[cov]]]
+            return img
+
+    summary = {"model": cfg.model.model, "texels": int(t)}
+    for j, pname in enumerate(spec.param_names[:m]):
+        vals = np.asarray(params[:, :, j])      # (T, C)
+        lo, hi = float(vals.min()), float(vals.max())
+        norm = (vals - lo) / max(hi - lo, 1e-12)
+        _save_png(to_image(norm.astype(np.float32)),
+                  os.path.join(out, f"param_{pname}.png"))
+        summary[pname] = {
+            "min": lo, "max": hi,
+            "mean": [float(x) for x in vals.mean(0)],
+            "median": [float(x) for x in np.median(vals, 0)],
+        }
+    np.savez_compressed(os.path.join(out, "params.npz"),
+                        params=params, face_ids=face_ids)
+    with open(os.path.join(out, "summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_render(args) -> int:
     from brdf_tpu.pipeline.render import render_image
 
@@ -420,6 +479,16 @@ def main(argv=None) -> int:
     rl.add_argument("--out")
     _env_args(rl)
     rl.set_defaults(fn=cmd_render)
+
+    ex = sub.add_parser(
+        "export",
+        help="fitted-parameter maps (one PNG per parameter) + summary stats",
+    )
+    ex.add_argument("--run", required=True)
+    ex.add_argument("--view", type=int, default=0,
+                    help="view whose raster map lays out the images")
+    ex.add_argument("--out", help="default: <run>/maps")
+    ex.set_defaults(fn=cmd_export)
 
     tt = sub.add_parser(
         "turntable",

@@ -92,6 +92,10 @@ rc = main(['relight', '--run', '{tmp_path}/run', '--view', '0',
            '--env', 'constant:1.0', '--env-samples', '128',
            '--out', '{tmp_path}/run/env.png'])
 assert rc == 0
+rc = main(['export', '--run', '{tmp_path}/run'])
+assert rc == 0
+s = json.load(open('{tmp_path}/run/maps/summary.json'))
+assert s['model'] == 'blinn_phong' and 'kd' in s and 'n' in s
 """
     out = subprocess.run(
         [sys.executable, "-c", script],
@@ -100,6 +104,7 @@ assert rc == 0
     assert out.returncode == 0, out.stderr[-3000:]
     assert os.path.exists(tmp_path / "run" / "render_view0.png")
     assert os.path.exists(tmp_path / "run" / "env.png")
+    assert os.path.exists(tmp_path / "run" / "maps" / "param_kd.png")
     events = [json.loads(l) for l in open(tmp_path / "run" / "events.jsonl")]
     kinds = [e["kind"] for e in events]
     assert "fit_done" in kinds and "saved" in kinds
