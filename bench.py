@@ -111,10 +111,13 @@ def main():
         _ = np.asarray(dg)
         return time.perf_counter() - t0
 
+    # median-of-5 long chains (see _shading_mrays for the stabilization
+    # rationale); spread is reported alongside the headline
     timed(1)
-    t_one = min(timed(1) for _ in range(3))
-    t_many = min(timed(6) for _ in range(3))
-    secs = (t_many - t_one) / 5
+    t_one = sorted(timed(1) for _ in range(5))[2]
+    reps = sorted(timed(16) for _ in range(5))
+    secs = (reps[2] - t_one) / 15
+    fit_spread = (reps[-1] - reps[0]) / reps[2]
 
     fits_per_sec = T / secs
     chi2_np = np.asarray(chi2)
@@ -134,6 +137,7 @@ def main():
         "batch": T,
         "views": V,
         "secs_per_batch": round(secs, 4),
+        "fit_timing_spread": round(fit_spread, 3),
         **quality,
         **_shading_mrays(),
     }
@@ -223,13 +227,16 @@ def _shading_mrays():
         val, grad = jax.value_and_grad(loss)(p)
         return val, grad, val + jnp.sum(grad[:1])
 
-    # numerical agreement check: the three engines compute the same thing
+    # numerical agreement check: ALL benched engines compute the same thing
+    # (every engine the bench times is also validated in the same run)
     v_x, g_x, _ = xla_fwd_bwd(params, ang, target)
-    v_p, g_p, _ = pallas_fused(params, ang, target)
-    agree = bool(
-        np.isclose(float(v_x), float(v_p), rtol=1e-4)
-        and np.allclose(np.asarray(g_x), np.asarray(g_p), rtol=1e-3, atol=1e-2)
-    )
+    agree = True
+    for fn in (pallas_fused, pallas_two_pass):
+        v_p, g_p, _ = fn(params, ang, target)
+        agree = agree and bool(
+            np.isclose(float(v_x), float(v_p), rtol=1e-4)
+            and np.allclose(np.asarray(g_x), np.asarray(g_p), rtol=1e-3, atol=1e-2)
+        )
 
     out = {"shading_batch": [t2, v2], "shading_engines_agree": agree}
     for name, fn in (
@@ -247,11 +254,21 @@ def _shading_mrays():
             _ = np.asarray(dg)
             return time.perf_counter() - t0
 
+        # Chained-slope timing, stabilized: per-execution time through the
+        # tunnel has real run-to-run variance (measured 17.7 vs 36.2 Grays/s
+        # for the identical program, r2), so use LONG chains (31 execs
+        # amortize any per-dispatch jitter 31×) and take the MEDIAN of 5
+        # repeats rather than the min of 3; the observed spread is reported
+        # so the headline is a checkable number, not a lucky draw.
         timed(1)
-        t1 = min(timed(1) for _ in range(3))
-        tn = min(timed(11) for _ in range(3))
-        per = (tn - t1) / 10
-        out[f"shading_{name}_mrays_fwd_bwd"] = round(t2 * v2 * 2 / per / 1e6, 1)
+        t1 = sorted(timed(1) for _ in range(5))[2]
+        reps = sorted(timed(31) for _ in range(5))
+        per = (reps[2] - t1) / 30
+        rate = t2 * v2 * 2 / per / 1e6
+        out[f"shading_{name}_mrays_fwd_bwd"] = round(rate, 1)
+        out[f"shading_{name}_spread"] = round(
+            (reps[-1] - reps[0]) / reps[2], 3
+        )
     # Headline + gate: the framework's best Pallas engine for loss fwd+bwd
     # (the fused one-pass kernel and the split-VJP shade kernel trade the
     # lead with batch shape) vs the XLA fusion of the identical computation.

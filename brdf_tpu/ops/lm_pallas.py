@@ -136,9 +136,10 @@ def _lm_kernel(
     angles_ref,   # (A, V, TB)
     y_ref,        # (V, TB)
     w_ref,        # (V, TB)
-    p0_ref,       # (8, TB): rows 0..m-1 = params
+    p0_ref,       # (8, TB): rows 0..m-1 = params; rows 5/6/7 = warm-resume
+                  #          (μ, ν, stop) — all-zero rows mean a cold start
     out_ref,      # (16, TB): rows 0..4 params, 5 chi2, 6 iters, 7 stop,
-                  #           8 g_inf, 9 mu
+                  #           8 g_inf, 9 mu, 10 nu
     *,
     spec: ShadingKernelSpec,
     opts: LMOptions,
@@ -173,6 +174,16 @@ def _lm_kernel(
     chi2 = chi2_of(p)
     zero = jnp.zeros_like(chi2)
 
+    # Warm-resume state rides the spare p0 rows (levmar_bc's warm_state
+    # semantics, solver/lm.py:224-244): μ ≤ 0/non-finite → Kanzow init at
+    # iteration 0; ν < 2/non-finite → 2; stop ≠ 0 is final and
+    # short-circuits the lane. Zero-filled rows == cold start.
+    mu_w = p0_ref[5:6, :]
+    mu_w = jnp.where(jnp.isfinite(mu_w) & (mu_w > 0), mu_w, 0.0)
+    nu_w = p0_ref[6:7, :]
+    nu_w = jnp.where(jnp.isfinite(nu_w) & (nu_w >= 2.0), nu_w, 2.0)
+    stop_w = p0_ref[7:8, :]
+
     # Carry is ONE packed (16, TB) array: a while_loop carry of many (1, TB)
     # values mixes splat-constant and reduction layouts, which Mosaic cannot
     # reconcile ("Not implemented: Sublane broadcast"); a single packed buffer
@@ -183,13 +194,15 @@ def _lm_kernel(
         parts = [rows.get(i, zero) for i in range(16)]
         return jnp.concatenate(parts, axis=0)
 
+    stop0 = jnp.where(
+        jnp.isfinite(chi2), zero, zero + float(StopReason.INVALID_VALUES)
+    )
     state = pack({
         **{j: p[j] for j in range(m)},
         R_CHI2: chi2,
-        R_NU: zero + 2.0,
-        R_STOP: jnp.where(
-            jnp.isfinite(chi2), zero, zero + float(StopReason.INVALID_VALUES)
-        ),
+        R_MU: mu_w,
+        R_NU: nu_w,
+        R_STOP: jnp.where(stop_w != 0.0, stop_w, stop0),
         R_GINF: zero + jnp.float32(3.4e38),
     })
 
@@ -225,8 +238,9 @@ def _lm_kernel(
         g_inf = functools.reduce(jnp.maximum, [jnp.abs(x) for x in pg])
         grad_conv = g_inf <= eps1
 
+        # Kanzow μ init only when no (warm) μ was carried in (μ ≤ 0)
         mu = jnp.where(
-            row(s, R_IT) == 0.0,
+            (row(s, R_IT) == 0.0) & (row(s, R_MU) <= 0.0),
             tau * functools.reduce(jnp.maximum, [a[(j, j)] for j in range(m)]),
             row(s, R_MU),
         )
@@ -317,7 +331,8 @@ def _lm_kernel(
     out_ref[7:8, :] = stop_out
     out_ref[8:9, :] = row(final, R_GINF)
     out_ref[9:10, :] = row(final, R_MU)
-    for j in range(10, 16):
+    out_ref[10:11, :] = row(final, R_NU)
+    for j in range(11, 16):
         out_ref[j : j + 1, :] = zero_row
 
 
@@ -454,6 +469,7 @@ def lm_fit_pallas_chunked(
     axis_name: str | None = None,
     overlap_slices: int = 4,
     interpret: bool = False,
+    warm: tuple | None = None,
 ) -> PallasFitResult:
     """Chunked-view LM fit: identical math to :func:`lm_fit_pallas` (same
     stop codes, same one-solve-per-iteration damping variant) but with the
@@ -557,6 +573,17 @@ def lm_fit_pallas_chunked(
     chi2_0 = chi2_of(p_init)
     zero = jnp.zeros_like(chi2_0)
 
+    # warm (μ, ν, stop) resume state (levmar_bc warm_state semantics);
+    # cold start == zeros/2/zeros
+    if warm is None:
+        mu_w, nu_w, stop_w = zero, zero + 2.0, zero
+    else:
+        mu_w = jnp.pad(jnp.asarray(warm[0], jnp.float32), (0, pad_t))
+        mu_w = jnp.where(jnp.isfinite(mu_w) & (mu_w > 0), mu_w, 0.0)
+        nu_w = jnp.pad(jnp.asarray(warm[1], jnp.float32), (0, pad_t))
+        nu_w = jnp.where(jnp.isfinite(nu_w) & (nu_w >= 2.0), nu_w, 2.0)
+        stop_w = jnp.pad(jnp.asarray(warm[2], jnp.float32), (0, pad_t))
+
     class _S(NamedTuple):
         p: jnp.ndarray       # (8, Tp)
         chi2: jnp.ndarray    # (Tp,)
@@ -566,11 +593,12 @@ def lm_fit_pallas_chunked(
         stop: jnp.ndarray
         ginf: jnp.ndarray
 
+    stop0 = jnp.where(
+        jnp.isfinite(chi2_0), zero, zero + float(StopReason.INVALID_VALUES)
+    )
     state = _S(
-        p=p_init, chi2=chi2_0, mu=zero, nu=zero + 2.0, it=zero,
-        stop=jnp.where(
-            jnp.isfinite(chi2_0), zero, zero + float(StopReason.INVALID_VALUES)
-        ),
+        p=p_init, chi2=chi2_0, mu=mu_w, nu=nu_w, it=zero,
+        stop=jnp.where(stop_w != 0.0, stop_w, stop0),
         ginf=zero + jnp.float32(3.4e38),
     )
 
@@ -588,8 +616,9 @@ def lm_fit_pallas_chunked(
         g_inf = functools.reduce(jnp.maximum, [jnp.abs(x) for x in pg])
         grad_conv = g_inf <= eps1
 
+        # Kanzow μ init only when no (warm) μ was carried in (μ ≤ 0)
         mu = jnp.where(
-            s.it == 0.0,
+            (s.it == 0.0) & (s.mu <= 0.0),
             tau * functools.reduce(jnp.maximum, [a[(j, j)] for j in range(m)]),
             s.mu,
         )
@@ -682,6 +711,7 @@ def lm_fit_pallas_chunked(
         stop=stop_out[sl].astype(jnp.int32),
         g_inf=final.ginf[sl],
         mu=final.mu[sl],
+        nu=final.nu[sl],
     )
 
 
@@ -692,6 +722,7 @@ class PallasFitResult(NamedTuple):
     stop: jnp.ndarray    # (T,) int32
     g_inf: jnp.ndarray   # (T,)
     mu: jnp.ndarray      # (T,) final damping (resume state)
+    nu: jnp.ndarray      # (T,) final damping growth factor (resume state)
 
 
 @functools.partial(
@@ -709,13 +740,17 @@ def lm_fit_pallas(
     upper: tuple = (100.0, 100.0, 100.0),
     block_t: int = 1024,
     interpret: bool = False,
+    warm: tuple | None = None,
 ) -> PallasFitResult:
     """Fit T independent m-parameter lobes, one VMEM-resident block at a time.
 
     Public layout is texel-major (T, V) to match the rest of the framework;
     the wrapper transposes to the kernel's views-major layout and pads T to
     the block size (padded lanes get zero weights and converge immediately).
-    ``lower``/``upper`` must have the model's parameter count.
+    ``lower``/``upper`` must have the model's parameter count. ``warm`` is an
+    optional ``(μ, ν, stop)`` triple of (T,) arrays resuming damping state
+    (levmar_bc ``warm_state`` semantics: μ ≤ 0 lanes take the Kanzow init,
+    stop ≠ 0 lanes short-circuit).
     """
     spec = PALLAS_MODELS[model]
     m = spec.n_params
@@ -737,7 +772,16 @@ def lm_fit_pallas(
     )  # (A, V, Tp)
     y = prep(target)
     w = prep(weights)
-    p0_pad = jnp.pad(p0.T, ((0, 8 - m), (0, pad)))     # (8, Tp)
+    # p0 rows 0..4 = params; rows 5/6/7 carry the warm (μ, ν, stop) resume
+    # state (zeros == cold start — see _lm_kernel)
+    p_rows = jnp.pad(p0.astype(jnp.float32).T, ((0, 5 - m), (0, pad)))
+    if warm is None:
+        warm_rows = jnp.zeros((3, tp), jnp.float32)
+    else:
+        warm_rows = jnp.stack(
+            [jnp.pad(jnp.asarray(x, jnp.float32), (0, pad)) for x in warm]
+        )
+    p0_pad = jnp.concatenate([p_rows, warm_rows], axis=0)   # (8, Tp)
 
     a = len(spec.angle_names)
     grid = (tp // block_t,)
@@ -766,6 +810,7 @@ def lm_fit_pallas(
         stop=out[7].astype(jnp.int32),
         g_inf=out[8],
         mu=out[9],
+        nu=out[10],
     )
 
 

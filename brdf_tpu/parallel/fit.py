@@ -83,12 +83,16 @@ def _make_fit_block(
             # fused kernel's reductions are VMEM-local by construction).
             lane_bytes = 4 * ((a + 2) * v_local + 48)
             fused_block = (10 << 20) // (2 * lane_bytes) // 128 * 128
+            # Both engines carry the warm (μ, ν, stop) continuation state, so
+            # IRLS rounds and chunked resumes keep their damping trajectory on
+            # the Pallas tier exactly as on the XLA tier.
+            warm_f = (warm_blk[0], warm_blk[1], warm_blk[2].astype(jnp.float32))
             if mesh.shape[VIEW_AXIS] == 1 and fused_block >= 256:
                 r = lm_fit_pallas(
                     model, angles_blk, target_blk, p0_blk, weights=weights_blk,
                     opts=opts._replace(axis_name=None),
                     block_t=min(1024, fused_block),
-                    interpret=interpret,
+                    interpret=interpret, warm=warm_f,
                     **bounds,
                 )
             else:
@@ -96,7 +100,7 @@ def _make_fit_block(
                     model, angles_blk, target_blk, p0_blk, weights=weights_blk,
                     opts=opts._replace(axis_name=None),
                     axis_name=VIEW_AXIS if mesh.shape[VIEW_AXIS] > 1 else None,
-                    interpret=interpret,
+                    interpret=interpret, warm=warm_f,
                     **bounds,
                 )
             z = jnp.zeros_like(r.chi2)
@@ -105,7 +109,7 @@ def _make_fit_block(
                 iters=r.iters.astype(jnp.int32), stop=r.stop,
                 nfev=(2.0 * r.iters + 1).astype(jnp.int32),
                 njev=r.iters.astype(jnp.int32),
-                mu=r.mu, nu=jnp.full_like(r.mu, 2.0),
+                mu=r.mu, nu=r.nu,
                 nlss=r.iters.astype(jnp.int32),   # one solve per iteration
                 constraint_violation=z,
             )
@@ -227,7 +231,7 @@ def fit_texels_sharded(
         or "auto" (pallas on TPU, xla elsewhere).
       warm_state: optional (μ, ν, stop) triple of (T,) arrays (e.g.
         ``prev.warm_state()``) resuming a chunked fit with ``p0=prev.p``;
-        terminated lanes short-circuit. XLA engine only.
+        terminated lanes short-circuit. Carried by both engines.
       robust/robust_iters: optional IRLS reweighting rounds
         ("huber"/"cauchy"/"tukey"), traced into the same program: each round
         recomputes residual-based weights and refits warm-started from the
@@ -256,8 +260,6 @@ def fit_texels_sharded(
     weights = jax.device_put(weights, tv_sharding)
 
     engine = _resolve_engine(engine, mesh.devices.flat[0].platform, model)
-    if warm_state is not None and engine == "pallas":
-        raise ValueError("warm_state resume requires the xla engine")
 
     with_init = p0 is None
     if not with_init:

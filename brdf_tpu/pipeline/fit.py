@@ -356,8 +356,8 @@ def fit_per_texel(
     ``checkpointer`` (a :class:`brdf_tpu.utils.checkpoint.FitCheckpointer`)
     with ``chunk_iters > 0`` runs the solve in resumable chunks: full solver
     state is saved between chunks and a killed run picks up where it stopped
-    (``resume=False`` forces a fresh start). Chunked mode uses the XLA engine
-    (the Pallas kernel keeps its whole solve VMEM-resident).
+    (``resume=False`` forces a fresh start). Both engines carry the
+    (μ, ν, stop) continuation state across chunks.
     """
     from brdf_tpu.solver.robust import robust_weights, saturation_weights
 
@@ -410,7 +410,7 @@ def fit_per_texel(
 
     if checkpointer is not None and chunk_iters > 0:
         res = _fit_chunked(
-            model, ang_rep, target, mesh, opts, w_rep, "xla",
+            model, ang_rep, target, mesh, opts, w_rep, engine,
             checkpointer, chunk_iters, resume,
         )
         if robust is not None:

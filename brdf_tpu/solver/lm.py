@@ -418,8 +418,12 @@ def _lm_single(
                 de_s - jac_c @ dp_s, dp_s
             ) / jnp.maximum(den, tiny)
             j_upd = jnp.where(den > tiny, j_upd, jac_c)
+            # Refresh on age, and whenever damping has blown up through
+            # rejected steps (ν > 16): a stale Broyden Jacobian is the usual
+            # culprit, and levmar's LEVMAR_DIF forces a fresh one there too
+            # (lm_core.c:578, the `updp && nu>16` recovery path).
             j, age_n, dj = jax.lax.cond(
-                age >= secant_refresh,
+                (age >= secant_refresh) | (s.nu > 16.0),
                 lambda: (jac_fn(s.p), jnp.int32(0), jnp.int32(1)),
                 lambda: (j_upd, age + jnp.int32(1), jnp.int32(0)),
             )

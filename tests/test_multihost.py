@@ -88,6 +88,16 @@ _WORKER = textwrap.dedent("""
 """)
 
 
+def _distributed_unavailable(detail: str):
+    """A jax.distributed bring-up failure FAILS by default — a permanent
+    breakage must not read as green (VERDICT r2 weak #8). Runtimes that
+    genuinely lack distributed support opt out explicitly with
+    BRDF_TPU_ALLOW_DISTRIBUTED_SKIP=1."""
+    if os.environ.get("BRDF_TPU_ALLOW_DISTRIBUTED_SKIP") == "1":
+        pytest.skip(f"distributed unavailable (opt-out set): {detail}")
+    pytest.fail(f"jax.distributed bring-up failed: {detail}")
+
+
 def test_two_process_distributed_smoke(tmp_path):
     """Two real jax.distributed CPU processes each publish their shard;
     process 0 commits the manifest; the assembled state carries both."""
@@ -114,10 +124,10 @@ def test_two_process_distributed_smoke(tmp_path):
     except subprocess.TimeoutExpired:
         for pr in procs:
             pr.kill()
-        pytest.skip("jax.distributed did not come up on this runtime")
+        _distributed_unavailable("jax.distributed did not come up (timeout)")
     if any(pr.returncode != 0 for pr in procs):
-        pytest.skip(
-            "jax.distributed unavailable here: " + " | ".join(o[-400:] for o in outs)
+        _distributed_unavailable(
+            "worker failed: " + " | ".join(o[-400:] for o in outs)
         )
     arrays, meta = ck.load_fit_state(str(tmp_path))
     assert meta == {"n": 2}
