@@ -162,6 +162,17 @@ def _fit_pipeline_program(
     from brdf_tpu.solver.robust import robust_weights
 
     def run(p0, angles, target, weights, warm):
+        t = target.shape[0]
+        dt = target.dtype
+        warm0 = (
+            jnp.zeros((t,), dt),
+            jnp.full((t,), 2.0, dt),
+            jnp.zeros((t,), jnp.int32),
+        )
+        if warm is None:
+            # cold start synthesized in-program (no host array to assemble —
+            # this is what lets the multi-process entry stay local-blocks-only)
+            warm = warm0
         if with_init:
             p0 = linear_grid_init(model, angles, target, weights=weights)
         if robust is None or robust_iters == 0:
@@ -171,13 +182,6 @@ def _fit_pipeline_program(
         # selects the caller's weights/start/warm, later rounds the robust
         # reweighting of the previous round's fit. One instance keeps the
         # (remote) compile cost flat in the round count.
-        t = target.shape[0]
-        dt = target.dtype
-        warm0 = (
-            jnp.zeros((t,), dt),
-            jnp.full((t,), 2.0, dt),
-            jnp.zeros((t,), jnp.int32),
-        )
 
         def round_body(i, res):
             first = i == 0
@@ -196,6 +200,18 @@ def _fit_pipeline_program(
         return jax.lax.fori_loop(0, robust_iters + 1, round_body, res0)
 
     return jax.jit(run)
+
+
+def _to_global(x, sharding: NamedSharding):
+    """Place ``x`` on the mesh. Single-process: a plain ``device_put``. On a
+    multi-process runtime (``jax.process_count() > 1``) the caller provides
+    its PROCESS-LOCAL block and the global array is assembled via
+    ``jax.make_array_from_process_local_data`` — the mechanism SURVEY.md §2.3
+    names for multi-host execution (a ``device_put`` of a host-global array
+    cannot work there: each process only holds its addressable shards)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
 
 
 def fit_texels_sharded(
@@ -219,6 +235,12 @@ def fit_texels_sharded(
       model: registered model name.
       angles: (T, V) cosine pytree; T must divide the ``data`` axis size and
         V the ``view`` axis size (use :func:`brdf_tpu.parallel.pad_to_multiple`).
+        **Multi-process runtimes** (``jax.process_count() > 1``, e.g. one
+        process per pod-slice host): every array argument is this process's
+        LOCAL block of the globally-sharded array (the block covered by this
+        process's addressable devices under the mesh sharding); the returned
+        :class:`LMResult` holds global arrays — read this process's part back
+        with :func:`brdf_tpu.parallel.mesh.local_block`.
       target: (T, V) measured intensities.
       mesh: mesh with axes ``(data, view)``.
       p0: optional (T, m) start; default = linear grid init, traced into the
@@ -255,28 +277,26 @@ def fit_texels_sharded(
 
     tv_sharding = NamedSharding(mesh, P(DATA_AXIS, VIEW_AXIS))
     t_sharding = NamedSharding(mesh, P(DATA_AXIS))
-    angles = jax.tree.map(lambda a: jax.device_put(a, tv_sharding), angles)
-    target = jax.device_put(target, tv_sharding)
-    weights = jax.device_put(weights, tv_sharding)
+    angles = jax.tree.map(lambda a: _to_global(a, tv_sharding), angles)
+    target = _to_global(target, tv_sharding)
+    weights = _to_global(weights, tv_sharding)
 
     engine = _resolve_engine(engine, mesh.devices.flat[0].platform, model)
 
     with_init = p0 is None
     if not with_init:
-        p0 = jax.device_put(p0, t_sharding)
+        p0 = _to_global(p0, t_sharding)
     # (p0 stays None under with_init: jit treats None as an empty pytree and
-    # the program computes the init itself, sharded like everything else.)
+    # the program computes the init itself, sharded like everything else.
+    # Same for warm: the cold-start state is synthesized inside the program,
+    # so no host array needs assembling.)
 
     if warm_state is None:
-        t = target.shape[0]
-        warm = (
-            jnp.zeros((t,), target.dtype),
-            jnp.full((t,), 2.0, target.dtype),
-            jnp.zeros((t,), jnp.int32),
-        )
+        warm = None
     else:
-        warm = tuple(jnp.asarray(w) for w in warm_state)
-    warm = tuple(jax.device_put(w, t_sharding) for w in warm)
+        warm = tuple(
+            _to_global(np.asarray(w), t_sharding) for w in warm_state
+        )
 
     run = _fit_pipeline_program(
         model, mesh, opts, lower_t, upper_t, engine,

@@ -73,6 +73,47 @@ def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0, value=0.0):
     return np.pad(x, widths, constant_values=value), size
 
 
+def local_block(arr) -> np.ndarray:
+    """This process's block of a globally-sharded ``jax.Array`` as host NumPy.
+
+    The readback twin of the ``make_array_from_process_local_data`` entry in
+    ``parallel/fit.py::_to_global``: on a multi-process runtime each process
+    only holds its addressable shards, so results come back per process and
+    assemble across processes through the sharded-checkpoint protocol
+    (``utils/checkpoint.py``) — not through a host-global gather.
+
+    Assembles the addressable shards into the contiguous block they cover
+    (shards are placed by their global index offset within the block).
+    Single-process arrays round-trip unchanged.
+    """
+    shards = sorted(arr.addressable_shards, key=lambda s: s.index)
+    if not shards:
+        return np.zeros((0,) + arr.shape[1:], arr.dtype)
+    # block origin = elementwise-min start of the addressable shard indices
+    starts = [
+        tuple(sl.start or 0 for sl in s.index) for s in shards
+    ]
+    origin = tuple(min(st[d] for st in starts) for d in range(arr.ndim))
+    stops = [
+        tuple(
+            (sl.stop if sl.stop is not None else arr.shape[d])
+            for d, sl in enumerate(s.index)
+        )
+        for s in shards
+    ]
+    extent = tuple(
+        max(st[d] for st in stops) - origin[d] for d in range(arr.ndim)
+    )
+    out = np.zeros(extent, arr.dtype)
+    for s, st in zip(shards, starts):
+        idx = tuple(
+            slice(st[d] - origin[d], st[d] - origin[d] + s.data.shape[d])
+            for d in range(arr.ndim)
+        )
+        out[idx] = np.asarray(s.data)
+    return out
+
+
 def initialize_multihost(
     coordinator: str | None = None,
     num_processes: int | None = None,
