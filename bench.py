@@ -78,7 +78,13 @@ def main():
     from brdf_tpu.ops.lm_pallas import lm_fit_pallas
 
     spec = MODELS[MODEL]
-    opts = LMOptions(eps1=1e-6, eps2=1e-7, eps3=1e-12, itmax=30)
+    # Tolerances + damping tuned from the r3 recovery diagnosis: with the
+    # grid init the start is near-Gauss-Newton territory, and the default
+    # Kanzow τ=1e-3 swamped the ill-scaled exponent direction of the damped
+    # system — texels stalled on SMALL_GRADIENT/SMALL_DP at χ² ~1e-7 after
+    # 1-2 iterations (recovery 0.84). τ=1e-10 + tight eps: recovery 0.98+
+    # AND fewer iterations (median 11 → 5, near-GN steps accepted at once).
+    opts = LMOptions(eps1=1e-10, eps2=1e-10, eps3=1e-16, itmax=60, tau=1e-10)
 
     @jax.jit
     def fit(ang, target):
@@ -140,6 +146,7 @@ def main():
         "fit_timing_spread": round(fit_spread, 3),
         **quality,
         **_shading_mrays(),
+        **_joint_mrays(),
     }
     failed = _check_gates(out)
     if failed:
@@ -283,21 +290,105 @@ def _shading_mrays():
     return out
 
 
+def _joint_mrays(t3: int = 262144, v3: int = 16):
+    """Joint normal-map (config 4) loss forward+backward: the m=9 joint
+    model's fused Pallas pass (angles + offset partials evaluated in-kernel,
+    ONE read of the geometry stacks — ``joint_value_and_grad_pallas``) vs
+    XLA's autodiff of the identical loss through ``perturbed_angles`` +
+    ``joint_eval`` (two passes). One "ray" = one (texel, view, channel)
+    evaluation, fwd+bwd. Gated ≥ 1.0 like the shading row; the r2 VERDICT's
+    target for the joint tier is ≥ 1.3×. BENCH_JOINT=0 skips."""
+    if os.environ.get("BENCH_JOINT", "1") == "0":
+        return {}
+    from brdf_tpu.models.brdf import shading_geometry
+    from brdf_tpu.models.normalmap import joint_eval, joint_spec
+    from brdf_tpu.ops.lm_pallas import joint_value_and_grad_pallas
+
+    rng = np.random.default_rng(2)
+    pts = rng.normal(size=(t3, 3)).astype(np.float32)
+    nrm = rng.normal(size=(t3, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    eye = np.array([0.0, 0.0, 10.0], np.float32)
+    lights = (rng.normal(size=(v3, 3)) * 4 + np.array([0, 0, 8.0])).astype(np.float32)
+    geom = shading_geometry(
+        jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(eye), jnp.asarray(lights)
+    )
+    jspec = joint_spec("cook_torrance")
+    p = np.zeros((t3, 9), np.float32)
+    p[:, 0:3] = rng.uniform(0.1, 0.9, (t3, 3))
+    p[:, 3:6] = rng.uniform(0.1, 0.9, (t3, 3))
+    p[:, 6] = rng.uniform(0.1, 0.9, t3)
+    p[:, 7:9] = rng.uniform(-0.3, 0.3, (t3, 2))
+    params = jnp.asarray(p)
+    target = jnp.asarray(rng.uniform(0, 1, (t3, v3, 3)), jnp.float32)
+
+    @jax.jit
+    def xla_joint(pp, y):
+        def loss(q):
+            r = joint_eval(jspec, q, geom) - y
+            return 0.5 * jnp.sum(r * r)
+
+        val, grad = jax.value_and_grad(loss)(pp)
+        return val, grad, val + jnp.sum(grad[:1])
+
+    @jax.jit
+    def pallas_joint(pp, y):
+        chi2, g = joint_value_and_grad_pallas(
+            "cook_torrance", pp, geom, y, interpret=False
+        )
+        val = 0.5 * jnp.sum(chi2)
+        return val, g, val + jnp.sum(g[:1])
+
+    v_x, g_x, _ = xla_joint(params, target)
+    v_p, g_p, _ = pallas_joint(params, target)
+    agree = bool(
+        np.isclose(float(v_x), float(v_p), rtol=1e-4)
+        and np.allclose(np.asarray(g_x), np.asarray(g_p), rtol=2e-3, atol=1e-1)
+    )
+    out = {"joint_batch": [t3, v3], "joint_engines_agree": agree}
+    for name, fn in (("xla", xla_joint), ("pallas", pallas_joint)):
+        _, _, dg = fn(params, target)
+        _ = np.asarray(dg)
+
+        def timed(n):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                _, _, dg = fn(params, target)
+            _ = np.asarray(dg)
+            return time.perf_counter() - t0
+
+        timed(1)
+        t1 = sorted(timed(1) for _ in range(5))[2]
+        reps = sorted(timed(31) for _ in range(5))
+        per = (reps[2] - t1) / 30
+        out[f"joint_{name}_mrays_fwd_bwd"] = round(t3 * v3 * 3 * 2 / per / 1e6, 1)
+        out[f"joint_{name}_spread"] = round((reps[-1] - reps[0]) / reps[2], 3)
+    out["joint_pallas_vs_xla"] = round(
+        out["joint_pallas_mrays_fwd_bwd"] / out["joint_xla_mrays_fwd_bwd"], 3
+    )
+    return out
+
+
 def _check_gates(out: dict) -> list[str]:
     """Quality/perf gates: a regression to "fast but wrong" (or a Pallas
     kernel slower than the XLA fusion it exists to beat) must FAIL the bench,
     not just print a number (VERDICT.md Weak #2). Mirrors how levmar always
     reported its own counters honestly (``lm_core.c:814-827``)."""
     failed = []
-    if out["recovery_frac"] < 0.80:
-        failed.append(f"recovery_frac {out['recovery_frac']:.3f} < 0.80")
-    if out["chi2_p99"] > 1e-4:
-        failed.append(f"chi2_p99 {out['chi2_p99']:.2e} > 1e-4")
+    if out["recovery_frac"] < 0.95:
+        failed.append(f"recovery_frac {out['recovery_frac']:.3f} < 0.95")
+    if out["chi2_p99"] > 1e-6:
+        failed.append(f"chi2_p99 {out['chi2_p99']:.2e} > 1e-6")
     ratio = out.get("shading_pallas_vs_xla")
     if ratio is not None and ratio < 1.0:
         failed.append(f"shading pallas/xla {ratio:.2f} < 1.0")
     if out.get("shading_engines_agree") is False:
         failed.append("pallas fused loss/grad disagrees with XLA autodiff")
+    jratio = out.get("joint_pallas_vs_xla")
+    if jratio is not None and jratio < 1.0:
+        failed.append(f"joint pallas/xla {jratio:.2f} < 1.0")
+    if out.get("joint_engines_agree") is False:
+        failed.append("joint pallas loss/grad disagrees with XLA autodiff")
     return failed
 
 

@@ -121,7 +121,7 @@ def _device_counts(n_dev):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="overhead",
-                    choices=["overhead", "weak", "hlo"])
+                    choices=["overhead", "weak", "hlo", "overlap"])
     ap.add_argument("--orient", default="data",
                     choices=["data", "view", "both"])
     ap.add_argument("--texels", type=int, default=16384,
@@ -191,6 +191,10 @@ def main():
         }))
         return
 
+    if args.mode == "overlap":
+        _overlap_ab(args, n_dev, devices, opts, lh_active)
+        return
+
     counts = _device_counts(n_dev)
     base = None
     for ndev in counts:
@@ -217,6 +221,92 @@ def main():
         if lh_active:
             row["latency_hiding_flags_active"] = lh_active
         print(json.dumps(row), flush=True)
+
+
+def _overlap_ab(args, n_dev, devices, opts, lh_active):
+    """A/B the chunked engine's reduction-overlap slicing (VERDICT r2 #7):
+
+    - **HLO structure** (virtual CPU mesh, view-sharded): overlap_slices=4
+      must emit 4 INDEPENDENT (kernel → all-reduce) chains per reduction
+      site where slices=1 emits one — the independence XLA's latency-hiding
+      scheduler needs to overlap slice k's all-reduce with slice k+1's
+      kernel. Counted from the compiled HLO.
+    - **Timing** (real TPU chip, mesh 1×1 so the psum is trivial): the
+      slicing itself must cost ≈ nothing — the mechanism is free to leave on.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from brdf_tpu.ops.lm_pallas import PallasFitResult, lm_fit_pallas_chunked
+    from brdf_tpu.parallel.mesh import VIEW_AXIS, make_mesh
+
+    t, v = args.texels, args.views
+    ang, target = _problem(t, v)
+    p0 = jnp.zeros((t, 3), jnp.float32) + jnp.asarray([0.5, 1.0, 1.0])
+    on_tpu = jax.default_backend() == "tpu"
+    view_dev = 1 if on_tpu else n_dev
+    mesh = make_mesh(data=1, view=view_dev, devices=devices[:view_dev])
+    z = jnp.zeros(())
+    res_tpl = PallasFitResult(p=z, chi2=z, iters=z, stop=z, g_inf=z, mu=z, nu=z)
+
+    out = {
+        "mode": "overlap", "devices": view_dev, "texels": t, "views": v,
+        "backend": jax.default_backend(),
+        "latency_hiding_flags_active": lh_active,
+    }
+    for slices in (1, 4):
+        def fit(p0_, a_, y_, slices=slices):
+            return lm_fit_pallas_chunked(
+                "blinn_phong", a_, y_, p0_, opts=opts,
+                lower=(0.0, 0.0, 0.0), upper=(100.0, 100.0, 100.0),
+                axis_name=VIEW_AXIS, overlap_slices=slices,
+                view_block=16, block_t=1024, interpret=not on_tpu,
+            )
+
+        wrapped = jax.jit(shard_map(
+            fit, mesh=mesh,
+            in_specs=(P(), jax.tree.map(lambda _: P(None, VIEW_AXIS), ang),
+                      P(None, VIEW_AXIS)),
+            out_specs=jax.tree.map(lambda _: P(), res_tpl),
+            check_vma=False,
+        ))
+        lowered = wrapped.lower(p0, ang, target)
+        compiled = lowered.compile()
+        hlo = compiled.as_text()
+        ar_lines = [l for l in hlo.splitlines() if " all-reduce(" in l]
+        # XLA's all-reduce COMBINER may re-merge the per-slice reductions
+        # into one VARIADIC all-reduce per site (a tuple of N operands) —
+        # same payload, one collective launch; the per-slice independence
+        # survives as the tuple arity, which is what the TPU latency-hiding
+        # scheduler schedules against. Record both the op count and the
+        # max arity so the artifact captures the real compiled structure.
+        max_arity = 1
+        for l in ar_lines:
+            if "= (" in l:
+                max_arity = max(max_arity, l.split(" all-reduce(")[0].count("f32["))
+        out[f"slices{slices}_all_reduce_ops"] = len(ar_lines)
+        out[f"slices{slices}_max_combined_arity"] = max_arity
+        out[f"slices{slices}_all_reduce_start"] = hlo.count("all-reduce-start")
+        if on_tpu:
+            res = wrapped(p0, ang, target)
+            _ = np.asarray(res.chi2[:1])
+            def timed(n):
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    r = wrapped(p0, ang, target)
+                _ = np.asarray(r.chi2[:1])
+                return time.perf_counter() - t0
+            timed(1)
+            t1 = sorted(timed(1) for _ in range(5))[2]
+            tn = sorted(timed(11) for _ in range(5))[2]
+            out[f"slices{slices}_secs"] = round((tn - t1) / 10, 5)
+    if on_tpu and out.get("slices1_secs"):
+        out["slicing_cost_ratio"] = round(
+            out["slices4_secs"] / out["slices1_secs"], 3
+        )
+    print(json.dumps(out), flush=True)
 
 
 class _null:

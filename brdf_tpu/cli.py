@@ -78,6 +78,16 @@ def cmd_fit(args) -> int:
     log("scene_loaded", name=scene.name, views=scene.num_views,
         faces=scene.mesh.num_faces, secs=round(time.time() - t0, 2))
 
+    # Separate the tunnel's serial device-claim wait (docs/PERF.md §1) from
+    # real work: one trivial program whose readback completes only once the
+    # device is actually claimed + reachable.
+    t0 = time.time()
+    import jax
+    import jax.numpy as jnp
+    np.asarray(jax.jit(lambda: jnp.zeros((1,), jnp.float32))())
+    log("device_ready", backend=jax.default_backend(),
+        secs=round(time.time() - t0, 2))
+
     t0 = time.time()
     if cfg.model.granularity == "pixel":
         from brdf_tpu.pipeline.fit import build_pixel_problem
@@ -102,7 +112,8 @@ def cmd_fit(args) -> int:
         arrays = {"params": params, "face_ids": problem.face_ids}
     elif cfg.model.joint_normalmap:
         res, jspec = fit_joint_normalmap(
-            problem, cfg.model.model, opts=opts, max_tilt=cfg.model.max_tilt
+            problem, cfg.model.model, opts=opts, max_tilt=cfg.model.max_tilt,
+            engine=cfg.solver.engine,
         )
         log("fit_done", mode="joint_normalmap", secs=round(time.time() - t0, 2))
         fit_summary_event(res)
@@ -123,6 +134,7 @@ def cmd_fit(args) -> int:
             checkpointer=checkpointer,
             chunk_iters=getattr(args, "chunk_iters", 0) or 0,
             resume=not getattr(args, "no_resume", False),
+            lower=cfg.solver.lower, upper=cfg.solver.upper,
         )
         log("fit_done", mode="per_texel", secs=round(time.time() - t0, 2),
             converged=report.converged_fraction(), chi2=report.chi2_summary())
@@ -252,10 +264,57 @@ def cmd_export(args) -> int:
         }
     np.savez_compressed(os.path.join(out, "params.npz"),
                         params=params, face_ids=face_ids)
+    if getattr(args, "stats", False):
+        metrics = _run_quality_metrics(arrays, meta, cfg, scene, params, face_ids)
+        with open(os.path.join(out, "metrics.json"), "w") as fh:
+            json.dump(metrics, fh, indent=1)
+        summary["quality"] = {
+            "reprojection_mae": metrics["reprojection_mae"],
+            "warnings": metrics["warnings"],
+        }
+        for w in metrics["warnings"]:
+            print(f"WARNING: {w}", file=sys.stderr)
     with open(os.path.join(out, "summary.json"), "w") as fh:
         json.dump(summary, fh, indent=1)
     print(json.dumps(summary))
     return 0
+
+
+def _run_quality_metrics(arrays, meta, cfg, scene, params, face_ids):
+    """Rebuild the fit problem for a saved run and audit the fit against the
+    measured photos (``pipeline.fit.fit_quality_metrics``). For joint
+    normal-map runs the reprojection uses the FITTED per-texel normals."""
+    from brdf_tpu.pipeline.fit import (
+        build_face_problem,
+        build_pixel_problem,
+        fit_quality_metrics,
+    )
+
+    joint = meta["mode"] == "joint"
+    if cfg.model.granularity == "pixel":
+        problem = build_pixel_problem(
+            scene, reference_view=cfg.model.reference_view,
+            stride=cfg.model.pixel_stride, with_geometry=joint,
+        )
+    else:
+        problem = build_face_problem(scene, with_geometry=joint)
+    if joint:
+        from brdf_tpu.models.brdf import angles_from_geometry
+        from brdf_tpu.models.normalmap import perturbed_angles
+
+        jp = arrays["joint_params"]
+        problem = problem._replace(
+            angles=perturbed_angles(
+                problem.geometry,
+                np.asarray(jp[:, 7], np.float32),
+                np.asarray(jp[:, 8], np.float32),
+            )
+        )
+    return fit_quality_metrics(
+        problem, params, cfg.model.model,
+        lower=cfg.solver.lower, upper=cfg.solver.upper,
+        chi2=arrays.get("chi2"),
+    )
 
 
 def cmd_render(args) -> int:
@@ -488,6 +547,9 @@ def main(argv=None) -> int:
     ex.add_argument("--view", type=int, default=0,
                     help="view whose raster map lays out the images")
     ex.add_argument("--out", help="default: <run>/maps")
+    ex.add_argument("--stats", action="store_true",
+                    help="also compute the fit-quality audit (reprojection "
+                         "error, fraction-at-bounds, warnings) → metrics.json")
     ex.set_defaults(fn=cmd_export)
 
     tt = sub.add_parser(

@@ -47,6 +47,14 @@ class SolverConfig:
     robust: str | None = None         # None | huber | cauchy | tukey
     robust_iters: int = 2
     mask_saturation: bool = True
+    # Optional box override (None = the model's default box). The reference
+    # hard-coded [0,100]³ everywhere (brdfdata.cpp:1115-1117) — unphysical
+    # for normalized lobes on [0,1] radiance data, and the r3 audit showed it
+    # lets the kd/ks roles swap at high roughness (kd parks at 0, ks absorbs
+    # the diffuse energy). A physically-plausible box achieves the same
+    # reprojection error with meaningful parameter maps.
+    lower: list[float] | None = None
+    upper: list[float] | None = None
 
     def lm_options(self) -> LMOptions:
         return LMOptions(
@@ -106,25 +114,30 @@ PRESETS: dict[str, FitConfig] = {
         model=ModelConfig(model="blinn_phong"),
         solver=SolverConfig(robust="huber"),
     ),
-    # (3) per-texel Cook-Torrance, bunny, all views
+    # (3) per-texel Cook-Torrance, bunny, all views. Plausible-reflectance
+    # box: same reprojection error as [0,100]³, non-degenerate kd maps
+    # (kd median 0.93/0.55/0.39 instead of 0 — see runs/bunny metrics)
     "bunny-ct": FitConfig(
         name="bunny-ct",
         scene=SceneConfig(scene_dir=f"{_REF}/bunny"),
         model=ModelConfig(model="cook_torrance"),
-        solver=SolverConfig(robust="huber"),
+        solver=SolverConfig(robust="huber",
+                            lower=[0.0, 0.0, 1e-3], upper=[2.0, 2.0, 1.0]),
     ),
     # (4) joint normal-map + Cook-Torrance with bounded LM, bunny
+    # (engine auto: the chunked m=9 Pallas tier on TPU, xla elsewhere)
     "bunny-joint": FitConfig(
         name="bunny-joint",
         scene=SceneConfig(scene_dir=f"{_REF}/bunny"),
         model=ModelConfig(model="cook_torrance", joint_normalmap=True),
-        solver=SolverConfig(itmax=40, engine="xla"),
+        solver=SolverConfig(itmax=40, engine="auto"),
     ),
     # (5) complexScene multi-object rig + relight render
     "complex-relight": FitConfig(
         name="complex-relight",
         scene=SceneConfig(scene_dir=f"{_REF}/complexScene", cal_name="ipod.cal"),
         model=ModelConfig(model="cook_torrance"),
-        solver=SolverConfig(robust="tukey"),
+        solver=SolverConfig(robust="tukey",
+                            lower=[0.0, 0.0, 1e-3], upper=[2.0, 2.0, 1.0]),
     ),
 }

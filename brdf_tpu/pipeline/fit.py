@@ -254,6 +254,135 @@ def _report_statistics_program(model: str):
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _reprojection_program(model: str, mask_saturation: bool):
+    """ONE jitted program: per-channel weighted reprojection error of fitted
+    params against the measured intensities (MAE + RMSE over seen views).
+    ``mask_saturation`` excludes sensor-ceiling measurements per channel,
+    consistent with the fit's own masking — a blown-out pixel is not a model
+    error (its fraction is reported separately)."""
+    spec = MODELS[model]
+
+    @jax.jit
+    def run(params, angles, intensity, weights):
+        # params (T, C, m); intensity (T, V, C); weights (T, V)
+        c = params.shape[1]
+        errs, sat = [], []
+        for ch in range(c):
+            pred = spec.fn(params[:, ch, :], angles)       # (T, V)
+            y = intensity[:, :, ch]
+            w = weights
+            sat.append(jnp.sum((y >= 0.98) * (weights > 0))
+                       / jnp.maximum(jnp.sum(weights > 0), 1))
+            if mask_saturation:
+                w = w * (y < 0.98)
+            err = jnp.abs(pred - y) * w
+            n = jnp.maximum(jnp.sum(w), 1e-12)
+            errs.append((jnp.sum(err) / n,
+                         jnp.sqrt(jnp.sum(err * err) / n)))
+        mae = jnp.stack([e[0] for e in errs])
+        rmse = jnp.stack([e[1] for e in errs])
+        return mae, rmse, jnp.stack(sat)
+
+    return run
+
+
+def fit_quality_metrics(
+    problem: TexelProblem,
+    params: np.ndarray,          # (T, C, m)
+    model: str,
+    lower=None,
+    upper=None,
+    chi2: np.ndarray | None = None,
+    stop: np.ndarray | None = None,
+    mask_saturation: bool = True,
+) -> dict:
+    """Quantitative fit-quality audit for a (real-data) run.
+
+    The reference's only self-inspection was printing kd/ks/n averages
+    (``brdfdata.cpp:1224-1226``). This computes, per run:
+
+    - per-channel render-vs-photo reprojection error (weighted MAE/RMSE of
+      the fitted model against the measured intensities, seen views only),
+    - the fraction of texels with each parameter pinned at its box bounds
+      (a pinned parameter is either a real material property at the edge of
+      the physical range or an unidentifiable DOF parked by the solver —
+      either way it belongs in the run record),
+    - convergence fraction and χ² summary when solver outputs are supplied,
+
+    and emits a ``warnings`` list for the pathologies that would otherwise
+    hide in a summary (VERDICT r2 weak #5: a committed bunny run had kd
+    median 0.0 and ks pinned at 100 with nothing flagging it).
+    """
+    spec = MODELS[model]
+    params = np.asarray(params)
+    t, c, m = params.shape
+    lo = np.ravel(np.asarray(spec.lower if lower is None else lower, np.float64))
+    hi = np.ravel(np.asarray(spec.upper if upper is None else upper, np.float64))
+
+    mae, rmse, sat = _reprojection_program(model, bool(mask_saturation))(
+        jnp.asarray(params), problem.angles,
+        np.asarray(problem.intensity, np.float32),
+        np.asarray(problem.weights, np.float32),
+    )
+    mae = np.asarray(mae)
+    rmse = np.asarray(rmse)
+
+    out: dict = {
+        "model": model,
+        "texels": int(t),
+        "reprojection_mae": [float(x) for x in mae],
+        "reprojection_rmse": [float(x) for x in rmse],
+        "saturated_fraction": [float(x) for x in np.asarray(sat)],
+        "intensity_mean": [
+            float(x) for x in np.asarray(problem.intensity).mean((0, 1))
+        ],
+    }
+    at_bounds = {}
+    for j, name in enumerate(spec.param_names[:m]):
+        vals = params[:, :, j]
+        span = max(hi[j] - lo[j], 1e-12)
+        at_lo = float((vals <= lo[j] + 1e-6 * span).mean())
+        at_hi = float((vals >= hi[j] - 1e-6 * span).mean())
+        at_bounds[name] = {"lower": at_lo, "upper": at_hi}
+    out["fraction_at_bounds"] = at_bounds
+
+    if chi2 is not None:
+        chi2 = np.asarray(chi2)
+        out["chi2"] = {
+            "median": float(np.median(chi2)),
+            "p90": float(np.percentile(chi2, 90)),
+        }
+    if stop is not None:
+        out["converged_fraction"] = float(
+            np.isin(np.asarray(stop), (1, 2, 6)).mean()
+        )
+
+    warnings = []
+    mean_i = max(float(np.mean(out["intensity_mean"])), 1e-9)
+    for ch, e in enumerate(mae):
+        if e > 0.5 * mean_i:
+            warnings.append(
+                f"channel {ch}: reprojection MAE {e:.4f} exceeds half the "
+                f"mean measured intensity ({mean_i:.4f}) — the fit does not "
+                "explain the photos"
+            )
+    for name, fr in at_bounds.items():
+        if fr["upper"] > 0.2:
+            warnings.append(
+                f"param {name}: {fr['upper']:.0%} of texels pinned at the "
+                f"UPPER bound — raise the bound or suspect non-identifiability"
+            )
+        if fr["lower"] > 0.5:
+            warnings.append(
+                f"param {name}: {fr['lower']:.0%} of texels at the LOWER "
+                "bound — verify against the reprojection error before "
+                "trusting the maps"
+            )
+    out["warnings"] = warnings
+    return out
+
+
 def _merge_chunk(acc: LMResult, res: LMResult, active: jnp.ndarray) -> LMResult:
     """Fold one resumed chunk into the accumulated result: lanes that had
     already terminated keep their values; lanes active this chunk take the new
@@ -277,7 +406,7 @@ def _merge_chunk(acc: LMResult, res: LMResult, active: jnp.ndarray) -> LMResult:
 
 def _fit_chunked(
     model, angles, target, mesh, opts, weights, engine, checkpointer,
-    chunk_iters, resume,
+    chunk_iters, resume, lower=None, upper=None,
 ) -> LMResult:
     """Run the sharded fit in chunks of ``chunk_iters`` outer iterations,
     checkpointing full solver state (p, μ, ν, stop, counters) between chunks
@@ -310,6 +439,7 @@ def _fit_chunked(
         res = fit_texels_sharded(
             model, angles, target, mesh, opts=opts._replace(itmax=step),
             weights=weights, p0=p0, engine=engine, warm_state=warm,
+            lower=lower, upper=upper,
         )
         acc = res if acc is None else _merge_chunk(acc, res, active)
         done += step
@@ -411,7 +541,7 @@ def fit_per_texel(
     if checkpointer is not None and chunk_iters > 0:
         res = _fit_chunked(
             model, ang_rep, target, mesh, opts, w_rep, engine,
-            checkpointer, chunk_iters, resume,
+            checkpointer, chunk_iters, resume, lower=lower, upper=upper,
         )
         if robust is not None:
             for _ in range(robust_iters):
@@ -443,6 +573,7 @@ def fit_joint_normalmap(
     opts: LMOptions | None = None,
     channel_report: FitReport | None = None,
     max_tilt: float = 0.6,
+    engine: str = "auto",
 ):
     """Jointly fit per-texel normals + material (BASELINE config 4): m = 9
     params (RGB kd, RGB ks, shared shape, tangent normal offset), n = 3·V
@@ -451,12 +582,14 @@ def fit_joint_normalmap(
     Needs a problem built ``with_geometry=True``. Starts from independent
     per-channel fits when supplied (``channel_report``), else from the linear
     grid initializer per channel.
+
+    ``engine``: "xla" (vmapped ``levmar_bc`` with jacfwd through
+    ``perturbed_angles``), "pallas" (the chunked m=9 normal-equation kernel
+    with angles + offset partials evaluated in-kernel,
+    ``ops/lm_pallas.py::lm_fit_joint_pallas_chunked``), or "auto" (pallas on
+    TPU when the base lobe is kernel-supported, else xla).
     """
-    from brdf_tpu.models.normalmap import (
-        joint_p0_from_channelwise,
-        joint_residual,
-        joint_spec,
-    )
+    from brdf_tpu.models.normalmap import joint_spec
 
     if problem.geometry is None:
         raise ValueError("joint fit requires build_face_problem(with_geometry=True)")
@@ -464,12 +597,23 @@ def fit_joint_normalmap(
     t, v, c = problem.intensity.shape
     if opts is None:
         opts = LMOptions(eps1=1e-7, eps2=1e-8, eps3=1e-14, itmax=40)
+    if engine == "auto":
+        from brdf_tpu.ops.lm_pallas import PALLAS_MODELS
+
+        engine = (
+            "pallas"
+            if jax.default_backend() == "tpu" and base_model in PALLAS_MODELS
+            else "xla"
+        )
 
     if channel_report is not None:
         chan = np.asarray(channel_report.params)           # (T, 3, 3)
     else:
         chan = None
-    run = _joint_program(base_model, opts, float(max_tilt), chan is not None)
+    run = _joint_program(
+        base_model, opts, float(max_tilt), chan is not None, engine,
+        interpret=jax.default_backend() != "tpu",
+    )
     res = run(
         chan, problem.angles, problem.geometry, problem.intensity,
         problem.weights,
@@ -479,10 +623,11 @@ def fit_joint_normalmap(
 
 @functools.lru_cache(maxsize=None)
 def _joint_program(base_model: str, opts: LMOptions, max_tilt: float,
-                   with_chan: bool):
+                   with_chan: bool, engine: str, interpret: bool):
     """One jitted program for the joint normal-map fit: per-channel grid
     init (unless channel-wise params are supplied) → joint start → bounded
-    LM over the 9-parameter joint model."""
+    LM over the 9-parameter joint model (XLA while_loop tier or the chunked
+    Pallas NE tier)."""
     from brdf_tpu.models.normalmap import (
         joint_p0_from_channelwise,
         joint_residual,
@@ -503,6 +648,25 @@ def _joint_program(base_model: str, opts: LMOptions, max_tilt: float,
         else:
             chan_ = chan
         p0 = joint_p0_from_channelwise(chan_)               # (T, 9)
+        if engine == "pallas":
+            from brdf_tpu.ops.lm_pallas import lm_fit_joint_pallas_chunked
+
+            r = lm_fit_joint_pallas_chunked(
+                base_model, geometry, intensity, p0,
+                weights=weights, opts=opts,
+                lower=tuple(spec.lower), upper=tuple(spec.upper),
+                interpret=interpret,
+            )
+            z = jnp.zeros_like(r.chi2)
+            return LMResult(
+                p=r.p, chi2=r.chi2, chi2_init=z, g_inf=r.g_inf,
+                iters=r.iters.astype(jnp.int32), stop=r.stop,
+                nfev=(2.0 * r.iters + 1).astype(jnp.int32),
+                njev=r.iters.astype(jnp.int32),
+                mu=r.mu, nu=r.nu,
+                nlss=r.iters.astype(jnp.int32),
+                constraint_violation=z,
+            )
         return levmar_bc(
             joint_residual(spec),
             p0,

@@ -181,3 +181,32 @@ def test_splat_points_depth_order():
     img = splat_points(cam, pts, vals)
     px = img[16, 15:17].max(0)  # principal point lands at (15.5, 15.5)
     np.testing.assert_allclose(px, 0.9, atol=1e-6)
+
+
+def test_fit_quality_metrics(synthetic):
+    """The fit-quality audit (VERDICT r2 weak #5): a good synthetic fit gets
+    near-zero reprojection error and no warnings; a degenerate parameter map
+    (everything parked at bounds) trips the warning block."""
+    from brdf_tpu.pipeline.fit import fit_quality_metrics
+
+    scene, _ = synthetic
+    prob = build_face_problem(scene)
+    rep = fit_per_texel(prob, "blinn_phong")
+    m = fit_quality_metrics(
+        prob, rep.params, "blinn_phong",
+        chi2=rep.result.chi2, stop=rep.result.stop,
+    )
+    assert max(m["reprojection_mae"]) < 5e-3
+    assert m["warnings"] == []
+    assert m["converged_fraction"] > 0.97
+    assert all(v["upper"] < 0.05 for v in m["fraction_at_bounds"].values())
+
+    # degenerate map: kd pinned at 0, ks pinned at the upper bound
+    bad = np.array(rep.params)
+    bad[:, :, 0] = 0.0
+    bad[:, :, 1] = 100.0
+    m_bad = fit_quality_metrics(prob, bad, "blinn_phong")
+    kinds = " ".join(m_bad["warnings"])
+    assert "kd" in kinds and "LOWER" in kinds
+    assert "ks" in kinds and "UPPER" in kinds
+    assert max(m_bad["reprojection_mae"]) > 0.05
