@@ -469,7 +469,7 @@ def lm_fit_pallas_chunked(
     block_t: int = 1024,
     view_block: int = 16,
     axis_name: str | None = None,
-    overlap_slices: int = 4,
+    overlap_slices: int = 1,
     interpret: bool = False,
     warm: tuple | None = None,
 ) -> PallasFitResult:
@@ -480,13 +480,22 @@ def lm_fit_pallas_chunked(
     over a mesh (the per-shard normal equations psum before the solve).
 
     **Reduction overlap** (SURVEY.md §7 hard part): with a sharded view axis,
-    the texel axis is additionally split into ``overlap_slices`` independent
+    ``overlap_slices > 1`` splits the texel axis into independent
     (kernel → psum) chains, so slice k's all-reduce can ride ICI while slice
     k+1's Jacobian accumulation still computes — XLA's TPU latency-hiding
     scheduler turns the per-slice all-reduces into async start/done pairs
     interleaved with the pallas calls (set the
     ``--xla_tpu_enable_async_collective_fusion`` family of flags; see
     ``benchmarks/scaling.py``). Semantically identical for any slice count.
+
+    **Measured default = 1 (off)**: the r3 on-chip A/B
+    (``SCALING_r3.json::overlap_onchip_timing``) put the slicing cost at
+    1.33× per iteration on one chip (4× the pallas_call launches, shorter
+    grids to pipeline) while the payload arithmetic in docs/SCALING.md bounds
+    the hideable all-reduce at V=16 to ~6% of the iteration — so slicing
+    only pays when the all-reduce is demonstrably dominant (very large V
+    sharded over many chips with the latency-hiding flags on). Opt in
+    explicitly after measuring on your mesh.
     """
     spec = PALLAS_MODELS[model]
     m = spec.n_params
