@@ -82,9 +82,13 @@ def main():
     # grid init the start is near-Gauss-Newton territory, and the default
     # Kanzow τ=1e-3 swamped the ill-scaled exponent direction of the damped
     # system — texels stalled on SMALL_GRADIENT/SMALL_DP at χ² ~1e-7 after
-    # 1-2 iterations (recovery 0.84). τ=1e-10 + tight eps: recovery 0.98+
-    # AND fewer iterations (median 11 → 5, near-GN steps accepted at once).
-    opts = LMOptions(eps1=1e-10, eps2=1e-10, eps3=1e-16, itmax=60, tau=1e-10)
+    # 1-2 iterations (recovery 0.84). τ=1e-10: recovery 0.98 AND fewer
+    # iterations (median 11 → 3, near-GN steps accepted at once). itmax is
+    # the throughput knob: the fused kernel's block runs until its SLOWEST
+    # lane stops, and ~1% of lanes never satisfy any eps (p99 iters 17,
+    # recovery plateau 0.975-0.983 for itmax 12..60) — so every block costs
+    # ~itmax iterations and the cap is set just above p99.
+    opts = LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=16, tau=1e-10)
 
     @jax.jit
     def fit(ang, target):

@@ -248,3 +248,37 @@ def test_warm_resume_through_sharded_driver():
     assert np.isin(np.asarray(r2.stop), (1, 2, 6)).mean() > 0.95
     # ν must be the engine's real final state, not a synthesized constant
     assert np.asarray(r1.nu).std() > 0 or np.all(np.asarray(r1.nu) == 2.0)
+
+
+def test_compacted_two_phase_matches_flat():
+    """Tail compaction (lm_fit_pallas_compacted): phase-1 cap + gathered
+    warm-resumed stragglers must be at least as good as a flat high-itmax
+    run — identical results for lanes that converge in phase 1, and full
+    convergence budget for the tail."""
+    from brdf_tpu.ops.lm_pallas import lm_fit_pallas_compacted
+
+    ang, target, true_p = _problem("blinn_phong", 512, 16, seed=11)
+    spec = MODELS["blinn_phong"]
+    p0 = linear_grid_init("blinn_phong", ang, target).astype(jnp.float32)
+    opts = LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=60, tau=1e-10)
+    kw = dict(lower=tuple(spec.lower), upper=tuple(spec.upper),
+              block_t=128, interpret=True)
+    flat = lm_fit_pallas("blinn_phong", ang, target, p0, opts=opts, **kw)
+    comp = lm_fit_pallas_compacted(
+        "blinn_phong", ang, target, p0, opts=opts, first_itmax=8,
+        tail_frac=4, **kw,
+    )
+    rel_f = (np.abs(np.asarray(flat.p) - true_p)
+             / np.maximum(np.abs(true_p), 1e-3)).max(-1)
+    rel_c = (np.abs(np.asarray(comp.p) - true_p)
+             / np.maximum(np.abs(true_p), 1e-3)).max(-1)
+    # recovery must not regress vs the flat run
+    assert (rel_c < 1e-2).mean() >= (rel_f < 1e-2).mean() - 1e-9
+    # lanes finishing within phase 1 carry exactly their phase-1 results
+    done1 = np.asarray(comp.iters) <= 8
+    assert done1.mean() > 0.8
+    conv = np.isin(np.asarray(comp.stop), (1, 2, 6))
+    assert conv.mean() > 0.95
+    # chi2 never worse than flat (tail got >= the same budget)
+    assert float(np.median(np.asarray(comp.chi2))) <= \
+        float(np.median(np.asarray(flat.chi2))) * 1.5 + 1e-12
