@@ -92,10 +92,15 @@ rc = main(['relight', '--run', '{tmp_path}/run', '--view', '0',
            '--env', 'constant:1.0', '--env-samples', '128',
            '--out', '{tmp_path}/run/env.png'])
 assert rc == 0
-rc = main(['export', '--run', '{tmp_path}/run'])
+rc = main(['export', '--run', '{tmp_path}/run', '--stats'])
 assert rc == 0
 s = json.load(open('{tmp_path}/run/maps/summary.json'))
 assert s['model'] == 'blinn_phong' and 'kd' in s and 'n' in s
+m = json.load(open('{tmp_path}/run/maps/metrics.json'))
+assert len(m['reprojection_mae']) == 3 and 'fraction_at_bounds' in m
+assert isinstance(m['warnings'], list)
+assert 'device_ready' in [__import__('json').loads(l)['kind']
+                          for l in open('{tmp_path}/run/events.jsonl')]
 """
     out = subprocess.run(
         [sys.executable, "-c", script],
