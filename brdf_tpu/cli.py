@@ -111,9 +111,12 @@ def cmd_fit(args) -> int:
             params=params.tolist())
         arrays = {"params": params, "face_ids": problem.face_ids}
     elif cfg.model.joint_normalmap:
+        from brdf_tpu.parallel.mesh import make_mesh
+
         res, jspec = fit_joint_normalmap(
             problem, cfg.model.model, opts=opts, max_tilt=cfg.model.max_tilt,
             engine=cfg.solver.engine,
+            mesh=make_mesh(data=cfg.sharding.data, view=1),
         )
         log("fit_done", mode="joint_normalmap", secs=round(time.time() - t0, 2))
         fit_summary_event(res)

@@ -574,6 +574,7 @@ def fit_joint_normalmap(
     channel_report: FitReport | None = None,
     max_tilt: float = 0.6,
     engine: str = "auto",
+    mesh=None,
 ):
     """Jointly fit per-texel normals + material (BASELINE config 4): m = 9
     params (RGB kd, RGB ks, shared shape, tangent normal offset), n = 3·V
@@ -588,6 +589,12 @@ def fit_joint_normalmap(
     with angles + offset partials evaluated in-kernel,
     ``ops/lm_pallas.py::lm_fit_joint_pallas_chunked``), or "auto" (pallas on
     TPU when the base lobe is kernel-supported, else xla).
+
+    ``mesh``: optional device mesh — the per-texel joint problems are
+    embarrassingly parallel, so the fit shard_maps over the ``data`` (texel)
+    axis (the texel count is padded to the axis size with zero-weight rows
+    and sliced back). Config 4 at pod scale, same decomposition as
+    :func:`fit_per_texel`.
     """
     from brdf_tpu.models.normalmap import joint_spec
 
@@ -613,21 +620,43 @@ def fit_joint_normalmap(
     run = _joint_program(
         base_model, opts, float(max_tilt), chan is not None, engine,
         interpret=jax.default_backend() != "tpu",
+        mesh=mesh,
     )
-    res = run(
-        chan, problem.angles, problem.geometry, problem.intensity,
-        problem.weights,
-    )
+    angles, geometry = problem.angles, problem.geometry
+    intensity = np.asarray(problem.intensity)
+    weights = np.asarray(problem.weights)
+    pad = 0
+    if mesh is not None:
+        from brdf_tpu.parallel.mesh import pad_to_multiple
+
+        n_data = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        _, t0 = pad_to_multiple(intensity, n_data)
+        padf = lambda a: pad_to_multiple(np.asarray(a), n_data)[0]
+        pad = (-t) % n_data
+        if pad:
+            angles = jax.tree.map(padf, angles)
+            geometry = jax.tree.map(padf, geometry)
+            intensity = padf(intensity)
+            w_pad = np.zeros((pad,) + weights.shape[1:], weights.dtype)
+            weights = np.concatenate([weights, w_pad])
+            if chan is not None:
+                chan = padf(chan)
+    res = run(chan, angles, geometry, intensity, weights)
+    if pad:
+        res = jax.tree.map(lambda a: a[:t], res)
     return res, spec
 
 
 @functools.lru_cache(maxsize=None)
 def _joint_program(base_model: str, opts: LMOptions, max_tilt: float,
-                   with_chan: bool, engine: str, interpret: bool):
+                   with_chan: bool, engine: str, interpret: bool,
+                   mesh=None):
     """One jitted program for the joint normal-map fit: per-channel grid
     init (unless channel-wise params are supplied) → joint start → bounded
     LM over the 9-parameter joint model (XLA while_loop tier or the chunked
-    Pallas NE tier)."""
+    Pallas NE tier). With a ``mesh``, the whole block (init + solve)
+    shard_maps over the texel axis — the per-texel joint problems are
+    independent, so no collectives are needed."""
     from brdf_tpu.models.normalmap import (
         joint_p0_from_channelwise,
         joint_residual,
@@ -636,8 +665,7 @@ def _joint_program(base_model: str, opts: LMOptions, max_tilt: float,
 
     spec = joint_spec(base_model, max_tilt=max_tilt)
 
-    @jax.jit
-    def run(chan, angles, geometry, intensity, weights):
+    def solve_block(chan, angles, geometry, intensity, weights):
         if not with_chan:
             def init_one(target):
                 return linear_grid_init(
@@ -675,6 +703,34 @@ def _joint_program(base_model: str, opts: LMOptions, max_tilt: float,
             data=(geometry, intensity, weights),
             opts=opts,
         )
+
+    if mesh is None:
+        return jax.jit(solve_block)
+
+    from jax import shard_map
+    from brdf_tpu.parallel.fit import _result_structure
+
+    d_axes = tuple(mesh.axis_names)     # all axes carry texels here
+
+    def spec_of(ndim):
+        return P(d_axes, *([None] * (ndim - 1)))
+
+    @jax.jit
+    def run(chan, angles, geometry, intensity, weights):
+        in_specs = (
+            None if chan is None else spec_of(3),
+            jax.tree.map(lambda a: spec_of(a.ndim), angles),
+            jax.tree.map(lambda a: spec_of(a.ndim), geometry),
+            spec_of(3),
+            spec_of(2),
+        )
+        wrapped = shard_map(
+            solve_block, mesh=mesh,
+            in_specs=in_specs,
+            out_specs=jax.tree.map(lambda _: P(d_axes), _result_structure()),
+            check_vma=False,
+        )
+        return wrapped(chan, angles, geometry, intensity, weights)
 
     return run
 

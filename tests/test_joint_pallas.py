@@ -157,3 +157,29 @@ def test_fit_joint_normalmap_engine_parity():
     conv_x = chi2_x < 1e-8
     assert conv_p.mean() > 0.5
     assert (conv_p ^ conv_x).mean() <= 0.1
+
+
+def test_fit_joint_normalmap_sharded_mesh():
+    """Config 4 over a device mesh: the joint fit shard_maps over the texel
+    axis (padded to the axis size) and matches the single-device solve."""
+    from brdf_tpu.pipeline.fit import TexelProblem, fit_joint_normalmap
+    from brdf_tpu.models.brdf import angles_from_geometry
+    from brdf_tpu.parallel.mesh import make_mesh
+
+    t = 50                                # deliberately not divisible by 8
+    geom, spec, true_p, target, rng = _problem(t=t, v=16, seed=5)
+    problem = TexelProblem(
+        angles=angles_from_geometry(geom),
+        intensity=target,
+        weights=jnp.ones(target.shape[:2], jnp.float32),
+        face_ids=np.arange(t),
+        geometry=geom,
+    )
+    opts = LMOptions(eps1=1e-8, eps2=1e-8, eps3=1e-16, itmax=60)
+    mesh = make_mesh(data=8, view=1, devices=jax.devices()[:8])
+    res_m, _ = fit_joint_normalmap(problem, opts=opts, engine="xla", mesh=mesh)
+    res_1, _ = fit_joint_normalmap(problem, opts=opts, engine="xla")
+    assert np.asarray(res_m.p).shape == (t, 9)
+    np.testing.assert_allclose(np.asarray(res_m.p), np.asarray(res_1.p),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(res_m.stop), np.asarray(res_1.stop))
