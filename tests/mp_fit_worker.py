@@ -63,6 +63,8 @@ def main():
 
     devs = jax.devices()
     assert len(devs) == 4 * nproc, f"expected {4 * nproc} devices, got {len(devs)}"
+    engine = "xla"
+    opts = LMOptions(eps1=1e-7, eps2=1e-8, eps3=1e-14, itmax=60)
     if layout == "data":
         mesh = Mesh(
             np.asarray(devs).reshape(len(devs), 1), (DATA_AXIS, VIEW_AXIS)
@@ -79,11 +81,16 @@ def main():
         mesh = Mesh(arr, (DATA_AXIS, VIEW_AXIS))
         vlo, vhi = pid * v // nproc, (pid + 1) * v // nproc
         tv = lambda a: a[:, vlo:vhi]     # this process's view columns
+        if layout == "view_pallas":
+            # the chunked Pallas NE engine (interpret mode on CPU) with its
+            # per-shard normal equations psum'd ACROSS PROCESSES — the
+            # production TPU engine's collective path, for real
+            engine = "pallas"
+            opts = opts._replace(itmax=8)   # interpret mode is slow
 
-    opts = LMOptions(eps1=1e-7, eps2=1e-8, eps3=1e-14, itmax=60)
     res = fit_texels_sharded(
         "blinn_phong", jax.tree.map(tv, ang), tv(target), mesh,
-        opts=opts, engine="xla",
+        opts=opts, engine=engine,
     )
     out = {
         "p": local_block(res.p),

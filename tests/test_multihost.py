@@ -271,3 +271,60 @@ def test_two_process_sharded_fit_view_axis(tmp_path):
         assert close.mean() > 0.95
     h0, h1 = np.split(arrays["stop"], 2)
     np.testing.assert_array_equal(h0, h1)   # replicas are identical
+
+
+def test_two_process_sharded_fit_pallas_engine(tmp_path):
+    """The PRODUCTION engine multi-process: the chunked Pallas NE kernel
+    (interpret mode on CPU) with its per-shard normal equations psum'd across
+    the two processes. Must match the same engine on an in-process mesh of
+    the same shape (identical math, cross-process reduction)."""
+    import socket
+
+    import jax
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    _launch_workers(
+        lambda i: [_WORKER_PATH, str(i), "2", str(port), str(tmp_path),
+                   "view_pallas"],
+        timeout=600,
+    )
+    arrays, meta = ck.load_fit_state(str(tmp_path))
+    assert arrays["p"].shape == (128, 3)   # both processes' full replicas
+
+    # in-process reference: same mesh shape, same engine, same opts
+    from brdf_tpu.parallel.fit import fit_texels_sharded
+    from brdf_tpu.parallel.mesh import make_mesh
+    from brdf_tpu.solver.lm import LMOptions
+
+    import jax.numpy as jnp
+    from brdf_tpu.models.brdf import MODELS, ShadingAngles
+
+    t, v = 64, 16
+    rng = np.random.default_rng(0)
+    ang = ShadingAngles(
+        cos_ln=rng.uniform(0, 1, (t, v)).astype(np.float32),
+        cos_nh=rng.uniform(0, 1, (t, v)).astype(np.float32),
+        cos_rv=rng.uniform(-1, 1, (t, v)).astype(np.float32),
+        cos_vn=rng.uniform(0.1, 1, (t, v)).astype(np.float32),
+    )
+    true_p = np.stack(
+        [rng.uniform(0.1, 0.9, t), rng.uniform(0.2, 1.0, t),
+         rng.uniform(2.0, 25.0, t)], -1,
+    ).astype(np.float32)
+    target = np.asarray(
+        MODELS["blinn_phong"].fn(jnp.asarray(true_p), jax.tree.map(jnp.asarray, ang))
+    )
+    mesh = make_mesh(data=4, view=2, devices=jax.devices()[:8])
+    ref = fit_texels_sharded(
+        "blinn_phong", ang, target, mesh,
+        opts=LMOptions(eps1=1e-7, eps2=1e-8, eps3=1e-14, itmax=8),
+        engine="pallas",
+    )
+    ref_p = np.asarray(ref.p)
+    for half in np.split(arrays["p"], 2):
+        close = (
+            np.abs(half - ref_p) / np.maximum(np.abs(ref_p), 1e-3)
+        ).max(-1) < 1e-2
+        assert close.mean() > 0.9
