@@ -630,7 +630,6 @@ def fit_joint_normalmap(
         from brdf_tpu.parallel.mesh import pad_to_multiple
 
         n_data = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-        _, t0 = pad_to_multiple(intensity, n_data)
         padf = lambda a: pad_to_multiple(np.asarray(a), n_data)[0]
         pad = (-t) % n_data
         if pad:
