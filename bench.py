@@ -87,8 +87,9 @@ def main():
     # the throughput knob: the fused kernel's block runs until its SLOWEST
     # lane stops, and ~1% of lanes never satisfy any eps (p99 iters 17,
     # recovery plateau 0.975-0.983 for itmax 12..60) — so every block costs
-    # ~itmax iterations and the cap is set just above p99.
-    opts = LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=16, tau=1e-10)
+    # ~itmax iterations. Measured on-chip: itmax 12/16/60 → 54.5/43.2/16.7 M
+    # fits/s at recovery 0.971/0.977/0.986 (runs/bench_r3_final.log).
+    opts = LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=12, tau=1e-10)
 
     @jax.jit
     def fit(ang, target):
