@@ -302,7 +302,6 @@ def _run_quality_metrics(arrays, meta, cfg, scene, params, face_ids):
     else:
         problem = build_face_problem(scene, with_geometry=joint)
     if joint:
-        from brdf_tpu.models.brdf import angles_from_geometry
         from brdf_tpu.models.normalmap import perturbed_angles
 
         jp = arrays["joint_params"]
