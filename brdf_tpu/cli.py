@@ -287,6 +287,8 @@ def _run_quality_metrics(arrays, meta, cfg, scene, params, face_ids):
     """Rebuild the fit problem for a saved run and audit the fit against the
     measured photos (``pipeline.fit.fit_quality_metrics``). For joint
     normal-map runs the reprojection uses the FITTED per-texel normals."""
+    import jax
+
     from brdf_tpu.pipeline.fit import (
         build_face_problem,
         build_pixel_problem,
@@ -301,10 +303,35 @@ def _run_quality_metrics(arrays, meta, cfg, scene, params, face_ids):
         )
     else:
         problem = build_face_problem(scene, with_geometry=joint)
+    if len(problem.face_ids) != len(face_ids) or not np.array_equal(
+        np.asarray(problem.face_ids), np.asarray(face_ids)
+    ):
+        # The rebuilt problem keeps only *visible* faces, which can differ
+        # from the saved run's texel set (e.g. single-material runs expand
+        # params to every mesh face): align params to the problem's texels.
+        lut = np.full(scene.mesh.num_faces, -1, np.int64)
+        lut[np.asarray(face_ids)] = np.arange(len(face_ids))
+        sel = lut[np.asarray(problem.face_ids)]
+        if (sel < 0).any():    # texels the saved run never fit: drop them
+            keep = sel >= 0
+            problem = problem._replace(
+                angles=jax.tree.map(lambda a: a[keep], problem.angles),
+                intensity=np.asarray(problem.intensity)[keep],
+                weights=np.asarray(problem.weights)[keep],
+                face_ids=np.asarray(problem.face_ids)[keep],
+                geometry=None if problem.geometry is None else
+                jax.tree.map(lambda a: a[keep], problem.geometry),
+            )
+            sel = sel[keep]
+        params = np.asarray(params)[sel]
+    else:
+        sel = None
     if joint:
         from brdf_tpu.models.normalmap import perturbed_angles
 
         jp = arrays["joint_params"]
+        if sel is not None:
+            jp = jp[sel]
         problem = problem._replace(
             angles=perturbed_angles(
                 problem.geometry,

@@ -276,10 +276,13 @@ def _reprojection_program(model: str, mask_saturation: bool):
                        / jnp.maximum(jnp.sum(weights > 0), 1))
             if mask_saturation:
                 w = w * (y < 0.98)
-            err = jnp.abs(pred - y) * w
+            # single-w weighting for BOTH metrics: MAE = Σ w·|e| / Σ w,
+            # RMSE = √(Σ w·e² / Σ w) — weighting |e|² by w² (the old form)
+            # understates the error for fractional robust/IRLS weights
+            err = jnp.abs(pred - y)
             n = jnp.maximum(jnp.sum(w), 1e-12)
-            errs.append((jnp.sum(err) / n,
-                         jnp.sqrt(jnp.sum(err * err) / n)))
+            errs.append((jnp.sum(w * err) / n,
+                         jnp.sqrt(jnp.sum(w * err * err) / n)))
         mae = jnp.stack([e[0] for e in errs])
         rmse = jnp.stack([e[1] for e in errs])
         return mae, rmse, jnp.stack(sat)
@@ -604,12 +607,20 @@ def fit_joint_normalmap(
     t, v, c = problem.intensity.shape
     if opts is None:
         opts = LMOptions(eps1=1e-7, eps2=1e-8, eps3=1e-14, itmax=40)
+    # The platform that will EXECUTE the fit is the mesh's, not necessarily
+    # the default backend (the multichip dryrun builds a virtual-CPU mesh
+    # while a tunneled TPU may be the default): Mosaic compiles only on TPU,
+    # everything else runs the kernels in interpret mode.
+    platform = (
+        mesh.devices.flat[0].platform if mesh is not None
+        else jax.default_backend()
+    )
     if engine == "auto":
         from brdf_tpu.ops.lm_pallas import PALLAS_MODELS
 
         engine = (
             "pallas"
-            if jax.default_backend() == "tpu" and base_model in PALLAS_MODELS
+            if platform == "tpu" and base_model in PALLAS_MODELS
             else "xla"
         )
 
@@ -619,7 +630,7 @@ def fit_joint_normalmap(
         chan = None
     run = _joint_program(
         base_model, opts, float(max_tilt), chan is not None, engine,
-        interpret=jax.default_backend() != "tpu",
+        interpret=platform != "tpu",
         mesh=mesh,
     )
     angles, geometry = problem.angles, problem.geometry

@@ -422,10 +422,18 @@ def _lm_single(
             # rejected steps (ν > 16): a stale Broyden Jacobian is the usual
             # culprit, and levmar's LEVMAR_DIF forces a fresh one there too
             # (lm_core.c:578, the `updp && nu>16` recovery path).
+            nu_blown = s.nu > 16.0
             j, age_n, dj = jax.lax.cond(
-                (age >= secant_refresh) | (s.nu > 16.0),
+                (age >= secant_refresh) | nu_blown,
                 lambda: (jac_fn(s.p), jnp.int32(0), jnp.int32(1)),
                 lambda: (j_upd, age + jnp.int32(1), jnp.int32(0)),
+            )
+            # One-shot semantics (lm_core.c:587 sets nu=2 with the refresh):
+            # without the reset, a run of consecutive rejections keeps ν > 16
+            # and recomputes the identical Jacobian at the unchanged p every
+            # iteration, inflating njev for nothing.
+            s = s._replace(
+                nu=jnp.where(nu_blown, jnp.asarray(2.0, s.nu.dtype), s.nu)
             )
             return (_step(s, j, dj), j, s.p, s.e, age_n)
 

@@ -108,8 +108,44 @@ assert 'device_ready' in [__import__('json').loads(l)['kind']
     )
     assert out.returncode == 0, out.stderr[-3000:]
     assert os.path.exists(tmp_path / "run" / "render_view0.png")
+    _assert_smoke_artifacts(tmp_path)
+
+
+def _assert_smoke_artifacts(tmp_path):
     assert os.path.exists(tmp_path / "run" / "env.png")
     assert os.path.exists(tmp_path / "run" / "maps" / "param_kd.png")
     events = [json.loads(l) for l in open(tmp_path / "run" / "events.jsonl")]
     kinds = [e["kind"] for e in events]
     assert "fit_done" in kinds and "saved" in kinds
+
+
+def test_cli_single_material_export_stats(tmp_path):
+    """`export --stats` on a SINGLE-MATERIAL run: params expand to every mesh
+    face but the rebuilt quality problem keeps only visible faces — the audit
+    must align them instead of crashing on a broadcast mismatch
+    (round-3 ADVICE; the cup mesh has invisible faces in any 2-view subset)."""
+    script = f"""
+import jax
+jax.config.update('jax_platforms','cpu')
+import json
+from brdf_tpu.cli import main
+from brdf_tpu.configs import FitConfig, SceneConfig, ModelConfig, SolverConfig
+cfg = FitConfig(
+    scene=SceneConfig(scene_dir='/root/reference/img/cup', views=[0, 8]),
+    model=ModelConfig(model='blinn_phong', per_texel=False),
+    solver=SolverConfig(itmax=20, engine='xla'),
+    name='smoke_single',
+)
+open('{tmp_path}/cfg.json','w').write(cfg.to_json())
+rc = main(['fit', '--config', '{tmp_path}/cfg.json', '--out', '{tmp_path}/run'])
+assert rc == 0
+rc = main(['export', '--run', '{tmp_path}/run', '--stats'])
+assert rc == 0
+m = json.load(open('{tmp_path}/run/maps/metrics.json'))
+assert len(m['reprojection_mae']) == 3
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
