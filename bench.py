@@ -12,10 +12,12 @@ is our fits/s divided by that.
 The workload here is the same statistical task (random blinn-phong texels,
 16 views, randomized angles, fit from scratch) solved by this framework's
 pipeline: linear grid init + the fused Pallas LM kernel (the whole solve
-VMEM-resident, ops/lm_pallas.py), float32, on whatever jax.default_backend()
-provides (the driver runs it on one TPU v5e chip). A quality gate (median χ²
-and parameter recovery) guards against "fast but wrong" regressions.
-Measured r1: ≈44M fits/s on one v5e chip ≈ 1040× the levmar baseline.
+VMEM-resident, ops/lm_pallas.py) under the two-phase tail-compaction
+schedule (everyone gets a short budget, stragglers are gathered dense and
+resumed — lm_fit_pallas_compacted), float32, on whatever
+jax.default_backend() provides (the driver runs it on one TPU v5e chip).
+A quality gate (median χ², overall + per-parameter recovery) guards against
+"fast but wrong" regressions.
 """
 
 from __future__ import annotations
@@ -75,7 +77,7 @@ def make_problem(rng: np.random.Generator, t: int, v: int):
 
 
 def main():
-    from brdf_tpu.ops.lm_pallas import lm_fit_pallas
+    from brdf_tpu.ops.lm_pallas import lm_fit_pallas_compacted
 
     spec = MODELS[MODEL]
     # Tolerances + damping tuned from the r3 recovery diagnosis: with the
@@ -83,32 +85,41 @@ def main():
     # Kanzow τ=1e-3 swamped the ill-scaled exponent direction of the damped
     # system — texels stalled on SMALL_GRADIENT/SMALL_DP at χ² ~1e-7 after
     # 1-2 iterations (recovery 0.84). τ=1e-10: recovery 0.98 AND fewer
-    # iterations (median 11 → 3, near-GN steps accepted at once). itmax is
-    # the throughput knob: the fused kernel's block runs until its SLOWEST
-    # lane stops, and ~1% of lanes never satisfy any eps (p99 iters 17,
-    # recovery plateau 0.975-0.983 for itmax 12..60) — so every block costs
-    # ~itmax iterations. Measured on-chip: itmax 12/16/60 → 54.5/43.2/16.7 M
-    # fits/s at recovery 0.971/0.977/0.986 (runs/bench_r3_final.log).
-    opts = LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=12, tau=1e-10)
+    # iterations (median 11 → 3, near-GN steps accepted at once).
+    #
+    # Schedule (r4): the fused kernel's block runs until its SLOWEST lane
+    # stops, so a flat cap trades throughput for the recovery tail head-on
+    # (measured itmax 12/16/60 → 54.5/43.2/16.7 M fits/s at recovery
+    # 0.971/0.977/0.986, runs/bench_r3_final.log). The r4 bench instead runs
+    # the two-phase compaction schedule: everyone gets FIRST_ITMAX
+    # iterations, then the still-active lanes (stop == MAX_ITERATIONS) are
+    # gathered into a dense 1/TAIL_FRAC slab and resumed with the full
+    # 60-iteration budget — tail recovery at near-flat-cap throughput
+    # (r4 on-chip sweep: runs/bench_r4_sweep.log). Both knobs are
+    # env-overridable for sweeps.
+    first_itmax = int(os.environ.get("BENCH_FIRST_ITMAX", "14"))
+    tail_frac = int(os.environ.get("BENCH_TAIL_FRAC", "16"))
+    opts = LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=60, tau=1e-10)
 
     @jax.jit
     def fit(ang, target):
         p0 = linear_grid_init(MODEL, ang, target)
-        res = lm_fit_pallas(
+        res = lm_fit_pallas_compacted(
             MODEL, ang, target, p0, opts=opts,
             lower=tuple(spec.lower), upper=tuple(spec.upper),
+            first_itmax=first_itmax, tail_frac=tail_frac,
         )
         # digest: a scalar whose readback forces the whole program — kept
         # inside THIS program because every distinct program pays a large
         # one-time first-execution cost on the tunneled runtime
         digest = jnp.sum(res.p[:1]) + jnp.sum(res.chi2[:1])
-        return res.p, res.chi2, digest
+        return res.p, res.chi2, res.stop, digest
 
     rng = np.random.default_rng(0)
     ang, target, true_p = make_problem(rng, T, V)
 
     # compile + first-execution warm-up (both one-time costs)
-    p_fit, chi2, digest = fit(ang, target)
+    p_fit, chi2, stop, digest = fit(ang, target)
     _ = np.asarray(digest)
 
     def timed(n: int) -> float:
@@ -118,25 +129,42 @@ def main():
         # so reading program N's digest bounds all N executions.
         t0 = time.perf_counter()
         for _ in range(n):
-            p_f, c2, dg = fit(ang, target)
+            *_unused, dg = fit(ang, target)
         _ = np.asarray(dg)
         return time.perf_counter() - t0
 
-    # median-of-5 long chains (see _shading_mrays for the stabilization
-    # rationale); spread is reported alongside the headline
-    timed(1)
-    t_one = sorted(timed(1) for _ in range(5))[2]
-    reps = sorted(timed(16) for _ in range(5))
-    secs = (reps[2] - t_one) / 15
-    fit_spread = (reps[-1] - reps[0]) / reps[2]
+    # Timing stabilization (r4, after BENCH_r03 measured 29% spread on
+    # 16-exec chains under the driver's cold process while in-session runs
+    # saw 2%): (a) a DISCARDED warm-up block of three 8-exec chains lets the
+    # tunnel/allocator settle past the cold first chains, (b) 64-exec chains
+    # amortize per-chain dispatch+readback jitter 4× further, (c) median of
+    # 7 repeats with the full (max-min)/median spread reported.
+    for _ in range(3):
+        timed(8)
+    t_one = sorted(timed(1) for _ in range(7))[3]
+    reps = sorted(timed(64) for _ in range(7))
+    secs = (reps[3] - t_one) / 63
+    fit_spread = (reps[-1] - reps[0]) / reps[3]
 
     fits_per_sec = T / secs
     chi2_np = np.asarray(chi2)
     rel = np.abs(np.asarray(p_fit) - true_p) / np.maximum(np.abs(true_p), 1e-3)
+    # per-parameter recovery (VERDICT r3 #5): the scalar headline hid WHICH
+    # parameter carried the 2.9% tail (diagnosed exponent-dominated)
+    per_param = {
+        name: float((rel[:, j] < 1e-2).mean())
+        for j, name in enumerate(spec.param_names)
+    }
     quality = {
         "chi2_median": float(np.median(chi2_np)),
         "chi2_p99": float(np.percentile(chi2_np, 99)),
         "recovery_frac": float((rel.max(-1) < 1e-2).mean()),
+        "recovery_per_param": per_param,
+        "tail_active_frac": float(
+            (np.asarray(stop) == 3).mean()  # MAX_ITERATIONS after BOTH phases
+        ),
+        "fit_schedule": {"first_itmax": first_itmax, "tail_frac": tail_frac,
+                         "tail_itmax": opts.itmax},
     }
 
     out = {
@@ -164,26 +192,30 @@ def main():
 def _shading_mrays():
     """Secondary metric: Cook-Torrance loss forward+backward Mrays/s
     (one ray = one (texel, view) evaluation; the BASELINE north-star unit),
-    through BOTH engines computing the IDENTICAL quantity on the SAME
-    inputs — ``value_and_grad`` of the data-fit loss ``½Σ(I(p)−y)²``:
+    through engines computing the IDENTICAL quantity on the SAME inputs —
+    ``value_and_grad`` of the data-fit loss ``½Σ(I(p)−y)²``:
 
     - **xla**: autodiff of the jnp lobe. XLA fuses this into two passes over
       the angle stack (forward; backward recompute) — the bandwidth roofline
       for a two-pass schedule.
-    - **pallas** (headline + gate): the standalone ``shade_pallas``
-      hand-VJP kernel under ``value_and_grad`` — its backward splits the
-      params/angles cotangent kernels so the unused angle pass is DCE'd
-      (the r1 fused dual-output backward paid ~A·V·T of dead cotangent
-      writes and measured 0.86× XLA; split, it measures ~1.5×).
-    - **pallas_fused_loss_grad** (reported, ungated):
+    - **pallas_fused_loss_grad** (headline + gate):
       ``ops/lm_pallas.py::shading_value_and_grad_pallas`` — loss + analytic
       gradient in ONE pass over the angle stack (the chunked LM engine's
-      inner op, weights folded in).
+      inner op, weights folded in). One pass beats the two-pass bandwidth
+      roofline by construction (driver-measured 1.40× r3).
 
-    All three compute the identical quantity (verified each run:
-    ``shading_engines_agree``). The angle distribution is full-range
-    cosines, ~half the rays horizon-masked like a real rig.
-    Gated by BENCH_SHADING=0 to skip."""
+    The standalone split-VJP ``shade_pallas`` kernel is a CORRECTNESS
+    CROSS-CHECK here, not a benched engine (VERDICT r3 #7): its backward is
+    two bandwidth-bound passes, which ties XLA's schedule by construction —
+    it measured below XLA in both driver artifacts (16.3 vs 18.1 r2, 15.8
+    vs 16.9 r3), so timing it every run spent bench time presenting a
+    known-non-winning engine as a contender. Its VJP is still validated
+    against XLA autodiff every run (``shading_engines_agree``) and remains
+    the general-VJP path for models outside the fused kernel set.
+
+    All engines compute the identical quantity (verified each run). The
+    angle distribution is full-range cosines, ~half the rays
+    horizon-masked like a real rig. Gated by BENCH_SHADING=0 to skip."""
     from brdf_tpu.ops.lm_pallas import shading_value_and_grad_pallas
     from brdf_tpu.ops.shading_pallas import shade_pallas
 
@@ -251,10 +283,11 @@ def _shading_mrays():
         )
 
     out = {"shading_batch": [t2, v2], "shading_engines_agree": agree}
+    # timed engines: XLA roofline + the one-pass fused kernel. The split-VJP
+    # kernel was validated above but is NOT timed (see docstring).
     for name, fn in (
         ("xla", xla_fwd_bwd),
         ("pallas_fused_loss_grad", pallas_fused),
-        ("pallas", pallas_two_pass),
     ):
         _, _, dg = fn(params, ang, target)
         _ = np.asarray(dg)   # compile + first-exec
@@ -281,13 +314,11 @@ def _shading_mrays():
         out[f"shading_{name}_spread"] = round(
             (reps[-1] - reps[0]) / reps[2], 3
         )
-    # Headline + gate: the framework's best Pallas engine for loss fwd+bwd
-    # (the fused one-pass kernel and the split-VJP shade kernel trade the
-    # lead with batch shape) vs the XLA fusion of the identical computation.
-    best = max(
-        out["shading_pallas_mrays_fwd_bwd"],
-        out["shading_pallas_fused_loss_grad_mrays_fwd_bwd"],
-    )
+    # Headline + gate: the fused one-pass kernel vs the XLA fusion of the
+    # identical computation. By construction no benched engine is slower
+    # than XLA unless the fused kernel itself regresses — which the gate
+    # catches.
+    best = out["shading_pallas_fused_loss_grad_mrays_fwd_bwd"]
     out["shading_mrays_per_sec_fwd_bwd"] = best
     out["shading_pallas_vs_xla"] = round(
         best / out["shading_xla_mrays_fwd_bwd"], 3
@@ -372,12 +403,15 @@ def _joint_mrays(t3: int = 262144, v3: int = 16):
             _ = np.asarray(dg)
             return time.perf_counter() - t0
 
-        timed(1)
-        t1 = sorted(timed(1) for _ in range(5))[2]
-        reps = sorted(timed(31) for _ in range(5))
-        per = (reps[2] - t1) / 30
+        # discarded warm-up + 63-exec chains × 7 (the r3 driver artifact
+        # measured 16% spread at 31×5 — same stabilization as the fit row)
+        for _ in range(2):
+            timed(8)
+        t1 = sorted(timed(1) for _ in range(7))[3]
+        reps = sorted(timed(63) for _ in range(7))
+        per = (reps[3] - t1) / 62
         out[f"joint_{name}_mrays_fwd_bwd"] = round(t3 * v3 * 3 * 2 / per / 1e6, 1)
-        out[f"joint_{name}_spread"] = round((reps[-1] - reps[0]) / reps[2], 3)
+        out[f"joint_{name}_spread"] = round((reps[-1] - reps[0]) / reps[3], 3)
     out["joint_pallas_vs_xla"] = round(
         out["joint_pallas_mrays_fwd_bwd"] / out["joint_xla_mrays_fwd_bwd"], 3
     )
@@ -390,8 +424,8 @@ def _check_gates(out: dict) -> list[str]:
     not just print a number (VERDICT.md Weak #2). Mirrors how levmar always
     reported its own counters honestly (``lm_core.c:814-827``)."""
     failed = []
-    if out["recovery_frac"] < 0.95:
-        failed.append(f"recovery_frac {out['recovery_frac']:.3f} < 0.95")
+    if out["recovery_frac"] < 0.97:
+        failed.append(f"recovery_frac {out['recovery_frac']:.3f} < 0.97")
     if out["chi2_p99"] > 1e-6:
         failed.append(f"chi2_p99 {out['chi2_p99']:.2e} > 1e-6")
     ratio = out.get("shading_pallas_vs_xla")
