@@ -89,6 +89,7 @@ def cmd_fit(args) -> int:
         secs=round(time.time() - t0, 2))
 
     t0 = time.time()
+    shadow = cfg.solver.shadow_weights or getattr(args, "shadow_weights", False)
     if cfg.model.granularity == "pixel":
         from brdf_tpu.pipeline.fit import build_pixel_problem
 
@@ -97,11 +98,22 @@ def cmd_fit(args) -> int:
             reference_view=cfg.model.reference_view,
             stride=cfg.model.pixel_stride,
             with_geometry=cfg.model.joint_normalmap,
+            shadow_weights=shadow,
+            shadow_resolution=cfg.solver.shadow_resolution,
         )
     else:
-        problem = build_face_problem(scene, with_geometry=cfg.model.joint_normalmap)
+        problem = build_face_problem(
+            scene, with_geometry=cfg.model.joint_normalmap,
+            shadow_weights=shadow,
+            shadow_resolution=cfg.solver.shadow_resolution,
+        )
+    extra = {}
+    if shadow:
+        w = np.asarray(problem.weights)
+        extra["zero_weight_frac"] = round(float((w == 0).mean()), 4)
     log("problem_built", texels=len(problem.face_ids),
-        granularity=cfg.model.granularity, secs=round(time.time() - t0, 2))
+        granularity=cfg.model.granularity, secs=round(time.time() - t0, 2),
+        shadow_weights=shadow, **extra)
 
     t0 = time.time()
     opts = cfg.solver.lm_options()
@@ -532,6 +544,11 @@ def main(argv=None) -> int:
     f.add_argument("--out")
     f.add_argument("--stats", action="store_true",
                    help="save per-texel stddev/R² (levmar dlevmar_covar-style)")
+    f.add_argument("--shadow-weights", action="store_true",
+                   dest="shadow_weights",
+                   help="zero-weight (texel, light) pairs in cast shadow "
+                        "(shadow maps from each LED; the reference fit "
+                        "shadowed pixels as if lit)")
     f.add_argument("--chunk-iters", type=int, default=0, dest="chunk_iters",
                    help="checkpoint solver state every N outer iterations "
                         "(per-texel fits; a killed run resumes automatically)")

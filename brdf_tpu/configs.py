@@ -47,6 +47,13 @@ class SolverConfig:
     robust: str | None = None         # None | huber | cauchy | tukey
     robust_iters: int = 2
     mask_saturation: bool = True
+    # Geometric cast-shadow masking: zero-weight (texel, light) pairs whose
+    # light is occluded by other geometry (shadow maps from each LED via the
+    # z-buffer rasterizer — geometry/visibility.py). The reference fit
+    # shadowed pixels as if lit (brdfdata.cpp:1188-1227 has no visibility
+    # term); IRLS only downweights them statistically.
+    shadow_weights: bool = False
+    shadow_resolution: int = 512
     # Optional box override (None = the model's default box). The reference
     # hard-coded [0,100]³ everywhere (brdfdata.cpp:1115-1117) — unphysical
     # for normalized lobes on [0,1] radiance data, and the r3 audit showed it

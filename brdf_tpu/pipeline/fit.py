@@ -70,7 +70,8 @@ class TexelProblem(NamedTuple):
 
 def build_face_problem(
     scene: Scene, dtype=jnp.float32, with_geometry: bool = False,
-    tangent_frame: bool = False,
+    tangent_frame: bool = False, shadow_weights: bool = False,
+    shadow_resolution: int = 512,
 ) -> TexelProblem:
     """One texel per *visible* mesh face; per-face intensity = mean over the
     pixels the face covers in each view (z-buffered visibility).
@@ -116,6 +117,14 @@ def build_face_problem(
 
     centroids = mesh.centroids[face_ids]
     normals = mesh.face_normals[face_ids]
+    if shadow_weights:
+        # zero-weight (texel, light) pairs in cast shadow — the reference
+        # fit those as lit (brdfdata.cpp:1188-1227 has no visibility term)
+        from brdf_tpu.geometry.visibility import light_visibility
+
+        weights = weights * light_visibility(
+            mesh, centroids, scene.lights, resolution=shadow_resolution
+        )
     geom = shading_geometry_np(centroids, normals, scene.eyes(), scene.lights)
     geom = jax.tree.map(lambda a: a.astype(np.dtype(dtype)), geom)
 
@@ -138,6 +147,8 @@ def build_pixel_problem(
     dtype=jnp.float32,
     with_geometry: bool = False,
     tangent_frame: bool = False,
+    shadow_weights: bool = False,
+    shadow_resolution: int = 512,
 ) -> TexelProblem:
     """One texel per covered *pixel* of a reference view — the reference's
     actual fit granularity (``brdfdata.cpp:1195-1221``), but with hit-point
@@ -150,6 +161,13 @@ def build_pixel_problem(
         smooth_normals=smooth_normals,
     )
     intensity, weights = sample_views(tex, scene)
+    if shadow_weights:
+        from brdf_tpu.geometry.visibility import light_visibility
+
+        weights = weights * light_visibility(
+            scene.mesh, tex.points, scene.lights,
+            resolution=shadow_resolution,
+        )
 
     # host-side NumPy throughout (see build_face_problem)
     geom = shading_geometry_np(tex.points, tex.normals, scene.eyes(), scene.lights)
