@@ -248,6 +248,8 @@ def cmd_export(args) -> int:
     if arrays.get("pixels") is not None:
         # pixel-granularity fit: texels ARE pixels of the fit's reference view
         px = np.asarray(arrays["pixels"])
+        cov_mask = np.zeros((cam.height, cam.width), bool)
+        cov_mask[px[:, 1], px[:, 0]] = True
 
         def to_image(vals):                     # (T, C) → (H, W, C)
             img = np.zeros((cam.height, cam.width, c), np.float32)
@@ -259,11 +261,26 @@ def cmd_export(args) -> int:
         lut[np.asarray(face_ids)] = np.arange(t)
         fid = rm.face_id
         cov = (fid >= 0) & (lut[np.maximum(fid, 0)] >= 0)
+        cov_mask = cov
 
         def to_image(vals):
             img = np.zeros((*fid.shape, c), np.float32)
             img[cov] = vals[lut[fid[cov]]]
             return img
+
+    if getattr(args, "coverage", False):
+        # pixel↔surface-map overlay over the photo — the offline replacement
+        # for the reference's DrawMapping diagnostic, which dotted the mapped
+        # pixels over the GL view (glutcallbacks.cpp:645-661): fitted-texel
+        # coverage tinted green at full brightness, the rest dimmed.
+        photo = np.asarray(scene.images[args.view], np.float32)
+        overlay = photo * 0.35
+        overlay[cov_mask] = np.clip(
+            photo[cov_mask] * 0.65 + np.float32([0.05, 0.35, 0.05]), 0, 1
+        )
+        cov_path = os.path.join(out, f"coverage_view{args.view}.png")
+        _save_png(overlay, cov_path)
+        print(cov_path)
 
     summary = {"model": cfg.model.model, "texels": int(t)}
     for j, pname in enumerate(spec.param_names[:m]):
@@ -359,6 +376,39 @@ def _run_quality_metrics(arrays, meta, cfg, scene, params, face_ids):
 
 
 def cmd_render(args) -> int:
+    out = _render_run(args)
+    print(out)
+    if not getattr(args, "watch", False):
+        return 0
+    # `--watch`: re-render whenever the run's fit state advances (a chunked/
+    # checkpointed fit writing new steps, or a refit into the same run dir) —
+    # the minimal offline counterpart of the reference's keypress-triggered
+    # re-shading loop (`m` after `c`, glutcallbacks.cpp:815-828, :344-446):
+    # point an image viewer at --out and it live-updates as the fit evolves.
+    import itertools
+
+    from brdf_tpu.utils.checkpoint import latest_step
+
+    def sig():
+        step = latest_step(args.run)
+        manifest = os.path.join(args.run, f"step_{step}", "manifest.json")
+        try:
+            return (step, os.path.getmtime(manifest))
+        except OSError:
+            return (step, None)
+
+    seen = sig()
+    polls = getattr(args, "watch_count", 0)
+    for _ in range(polls) if polls else itertools.count():
+        time.sleep(args.watch_interval)
+        cur = sig()
+        if cur != seen:
+            seen = cur
+            print(_render_run(args), flush=True)
+    return 0
+
+
+def _render_run(args) -> str:
     from brdf_tpu.pipeline.render import render_image
 
     arrays, meta, cfg = _load_run(args.run)
@@ -416,8 +466,7 @@ def cmd_render(args) -> int:
                 lights=lights, normal_offsets=offsets,
             )
     _save_png(img, out)
-    print(out)
-    return 0
+    return out
 
 
 def cmd_turntable(args) -> int:
@@ -573,6 +622,13 @@ def main(argv=None) -> int:
     r.add_argument("--light", action="append",
                    help="x,y,z world position (repeatable); default = the view's LED")
     r.add_argument("--out")
+    r.add_argument("--watch", action="store_true",
+                   help="keep running: re-render --out whenever the run's "
+                        "fit state advances (live preview via a file viewer)")
+    r.add_argument("--watch-interval", type=float, default=2.0,
+                   dest="watch_interval")
+    r.add_argument("--watch-count", type=int, default=0, dest="watch_count",
+                   help="stop after N polls (0 = forever)")
     _env_args(r)
     r.set_defaults(fn=cmd_render)
 
@@ -596,6 +652,10 @@ def main(argv=None) -> int:
     ex.add_argument("--stats", action="store_true",
                     help="also compute the fit-quality audit (reprojection "
                          "error, fraction-at-bounds, warnings) → metrics.json")
+    ex.add_argument("--coverage", action="store_true",
+                    help="write a pixel↔surface-map overlay PNG for --view "
+                         "(fitted coverage tinted over the photo; the "
+                         "DrawMapping diagnostic replacement)")
     ex.set_defaults(fn=cmd_export)
 
     tt = sub.add_parser(

@@ -119,6 +119,54 @@ def _assert_smoke_artifacts(tmp_path):
     assert "fit_done" in kinds and "saved" in kinds
 
 
+def test_cli_export_coverage_and_render_watch(tmp_path):
+    """`export --coverage` writes the pixel↔surface-map overlay (the
+    DrawMapping replacement, glutcallbacks.cpp:645-661) and `render --watch`
+    re-renders when the run's fit state advances."""
+    script = f"""
+import jax
+jax.config.update('jax_platforms','cpu')
+import os, threading, time
+from brdf_tpu.cli import main
+from brdf_tpu.configs import FitConfig, SceneConfig, ModelConfig, SolverConfig
+cfg = FitConfig(
+    scene=SceneConfig(scene_dir='/root/reference/img/cup', views=[0]),
+    model=ModelConfig(model='blinn_phong'),
+    solver=SolverConfig(itmax=4, engine='xla'),
+    name='watch',
+)
+open('{tmp_path}/cfg.json','w').write(cfg.to_json())
+run = '{tmp_path}/run'
+assert main(['fit', '--config', '{tmp_path}/cfg.json', '--out', run]) == 0
+assert main(['export', '--run', run, '--coverage']) == 0
+cov = os.path.join(run, 'maps', 'coverage_view0.png')
+assert os.path.exists(cov), cov
+
+png = os.path.join(run, 'render_view0.png')
+t = threading.Thread(target=main, args=(
+    ['render', '--run', run, '--watch', '--watch-interval', '0.3',
+     '--watch-count', '20'],))
+t.start()
+for _ in range(100):
+    if os.path.exists(png):
+        break
+    time.sleep(0.1)
+m0 = os.path.getmtime(png)
+time.sleep(0.5)
+from brdf_tpu.utils.checkpoint import load_fit_state, save_fit_state
+arrays, meta = load_fit_state(run)
+save_fit_state(run, 1, arrays, metadata=meta)   # fit state advances
+t.join(timeout=60)
+assert not t.is_alive()
+assert os.path.getmtime(png) > m0, 'watch loop must have re-rendered'
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+
+
 def test_cli_single_material_export_stats(tmp_path):
     """`export --stats` on a SINGLE-MATERIAL run: params expand to every mesh
     face but the rebuilt quality problem keeps only visible faces — the audit
