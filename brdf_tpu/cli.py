@@ -89,7 +89,10 @@ def cmd_fit(args) -> int:
         secs=round(time.time() - t0, 2))
 
     t0 = time.time()
+    from brdf_tpu.models.brdf import MODELS
+
     shadow = cfg.solver.shadow_weights or getattr(args, "shadow_weights", False)
+    tangent = MODELS[cfg.model.model].tangent   # aniso lobes need the frame
     if cfg.model.granularity == "pixel":
         from brdf_tpu.pipeline.fit import build_pixel_problem
 
@@ -98,12 +101,14 @@ def cmd_fit(args) -> int:
             reference_view=cfg.model.reference_view,
             stride=cfg.model.pixel_stride,
             with_geometry=cfg.model.joint_normalmap,
+            tangent_frame=tangent,
             shadow_weights=shadow,
             shadow_resolution=cfg.solver.shadow_resolution,
         )
     else:
         problem = build_face_problem(
             scene, with_geometry=cfg.model.joint_normalmap,
+            tangent_frame=tangent,
             shadow_weights=shadow,
             shadow_resolution=cfg.solver.shadow_resolution,
         )
@@ -318,6 +323,7 @@ def _run_quality_metrics(arrays, meta, cfg, scene, params, face_ids):
     normal-map runs the reprojection uses the FITTED per-texel normals."""
     import jax
 
+    from brdf_tpu.models.brdf import MODELS
     from brdf_tpu.pipeline.fit import (
         build_face_problem,
         build_pixel_problem,
@@ -325,13 +331,17 @@ def _run_quality_metrics(arrays, meta, cfg, scene, params, face_ids):
     )
 
     joint = meta["mode"] == "joint"
+    tangent = MODELS[cfg.model.model].tangent
     if cfg.model.granularity == "pixel":
         problem = build_pixel_problem(
             scene, reference_view=cfg.model.reference_view,
             stride=cfg.model.pixel_stride, with_geometry=joint,
+            tangent_frame=tangent,
         )
     else:
-        problem = build_face_problem(scene, with_geometry=joint)
+        problem = build_face_problem(
+            scene, with_geometry=joint, tangent_frame=tangent
+        )
     if len(problem.face_ids) != len(face_ids) or not np.array_equal(
         np.asarray(problem.face_ids), np.asarray(face_ids)
     ):
@@ -372,6 +382,7 @@ def _run_quality_metrics(arrays, meta, cfg, scene, params, face_ids):
         problem, params, cfg.model.model,
         lower=cfg.solver.lower, upper=cfg.solver.upper,
         chi2=arrays.get("chi2"),
+        joint_normals=joint,
     )
 
 

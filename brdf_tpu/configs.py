@@ -147,4 +147,34 @@ PRESETS: dict[str, FitConfig] = {
         solver=SolverConfig(robust="tukey",
                             lower=[0.0, 0.0, 1e-3], upper=[2.0, 2.0, 1.0]),
     ),
+    # ---- recommended real-scan tiers beyond the original ladder ----
+    # Joint normal-map fits are the DOCUMENTED DEFAULT for real scenes:
+    # per-texel fits against scanned normals park the specular params at the
+    # box (bunny CT measured ks-upper 0.59 / roughness-upper 0.58, collapsing
+    # to 0.03 once the normal is fit jointly — runs/bunny_tpu vs
+    # runs/bunny_joint) and the joint fit cut bunny render-vs-photo MAE ~40%.
+    "cup-joint": FitConfig(
+        name="cup-joint",
+        scene=SceneConfig(scene_dir=f"{_REF}/cup"),
+        model=ModelConfig(model="cook_torrance", joint_normalmap=True),
+        solver=SolverConfig(itmax=40, engine="auto"),
+    ),
+    "complex-joint": FitConfig(
+        name="complex-joint",
+        scene=SceneConfig(scene_dir=f"{_REF}/complexScene", cal_name="ipod.cal"),
+        model=ModelConfig(model="cook_torrance", joint_normalmap=True),
+        solver=SolverConfig(itmax=40, engine="auto"),
+    ),
+    # Anisotropic Ward on timber (wood = the canonical anisotropic material;
+    # the m=5 tangent-frame lobes are first-class in every solver tier)
+    "timber-aniso": FitConfig(
+        name="timber-aniso",
+        scene=SceneConfig(scene_dir=f"{_REF}/timber"),
+        model=ModelConfig(model="ward_aniso"),
+        solver=SolverConfig(
+            robust="huber",
+            lower=[0.0, 0.0, 1e-3, 1e-3, -1.5707963],
+            upper=[2.0, 2.0, 1.0, 1.0, 1.5707963],
+        ),
+    ),
 }

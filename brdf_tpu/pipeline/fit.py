@@ -317,6 +317,7 @@ def fit_quality_metrics(
     chi2: np.ndarray | None = None,
     stop: np.ndarray | None = None,
     mask_saturation: bool = True,
+    joint_normals: bool = False,
 ) -> dict:
     """Quantitative fit-quality audit for a (real-data) run.
 
@@ -390,10 +391,21 @@ def fit_quality_metrics(
             )
     for name, fr in at_bounds.items():
         if fr["upper"] > 0.2:
-            warnings.append(
+            msg = (
                 f"param {name}: {fr['upper']:.0%} of texels pinned at the "
                 f"UPPER bound — raise the bound or suspect non-identifiability"
             )
+            if not joint_normals:
+                # Scanned-normal error launders into clamped specular params
+                # (measured: bunny CT ks-upper 0.59 per-channel vs 0.03 under
+                # the joint fit, runs/bunny_tpu vs runs/bunny_joint) — the
+                # joint tier is the documented default for real scenes.
+                msg += (
+                    "; on real scans this usually means normal error — "
+                    "refit with the joint normal-map tier "
+                    "(ModelConfig.joint_normalmap / the *-joint presets)"
+                )
+            warnings.append(msg)
         if fr["lower"] > 0.5:
             warnings.append(
                 f"param {name}: {fr['lower']:.0%} of texels at the LOWER "
