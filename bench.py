@@ -12,12 +12,12 @@ is our fits/s divided by that.
 The workload here is the same statistical task (random blinn-phong texels,
 16 views, randomized angles, fit from scratch) solved by this framework's
 pipeline: linear grid init + the fused Pallas LM kernel (the whole solve
-VMEM-resident, ops/lm_pallas.py) under the two-phase tail-compaction
-schedule (everyone gets a short budget, stragglers are gathered dense and
-resumed — lm_fit_pallas_compacted), float32, on whatever
-jax.default_backend() provides (the driver runs it on one TPU v5e chip).
-A quality gate (median χ², overall + per-parameter recovery) guards against
-"fast but wrong" regressions.
+VMEM-resident, ops/lm_pallas.py) at the measured throughput/recovery
+frontier (flat itmax=24 — see the schedule comment in main() for the
+r4 ladder and why tail compaction was re-measured and rejected), float32,
+on whatever jax.default_backend() provides (the driver runs it on one TPU
+v5e chip). A quality gate (median χ², overall + per-parameter recovery)
+guards against "fast but wrong" regressions.
 """
 
 from __future__ import annotations
@@ -87,28 +87,48 @@ def main():
     # 1-2 iterations (recovery 0.84). τ=1e-10: recovery 0.98 AND fewer
     # iterations (median 11 → 3, near-GN steps accepted at once).
     #
-    # Schedule (r4): the fused kernel's block runs until its SLOWEST lane
-    # stops, so a flat cap trades throughput for the recovery tail head-on
-    # (measured itmax 12/16/60 → 54.5/43.2/16.7 M fits/s at recovery
-    # 0.971/0.977/0.986, runs/bench_r3_final.log). The r4 bench instead runs
-    # the two-phase compaction schedule: everyone gets FIRST_ITMAX
-    # iterations, then the still-active lanes (stop == MAX_ITERATIONS) are
-    # gathered into a dense 1/TAIL_FRAC slab and resumed with the full
-    # 60-iteration budget — tail recovery at near-flat-cap throughput
-    # (r4 on-chip sweep: runs/bench_r4_sweep.log). Both knobs are
-    # env-overridable for sweeps.
-    first_itmax = int(os.environ.get("BENCH_FIRST_ITMAX", "14"))
-    tail_frac = int(os.environ.get("BENCH_TAIL_FRAC", "16"))
+    # Schedule (r4, measured): FLAT itmax=24, single phase. The quiet-host
+    # flat ladder (runs/evidence_r4{b,c}_summary.json, one v5e chip) is
+    # itmax 12/16/20/24/28/60 → 52.0/43.8/38.2/33.6/30.0/16.7 M fits/s at
+    # recovery 0.971/0.977/0.980/0.982/0.983/0.986 — itmax=24 is the
+    # highest-throughput point at recovery ≥ 0.98. Two-phase tail
+    # compaction was re-measured and REJECTED again, for r4-specific
+    # reasons recorded in the same sweeps: (a) the gather/second-launch
+    # glue costs ~2 ms fixed on this runtime (launch count, not FLOPs —
+    # same pathology as SCALING_r3 overlap_ab), flooring every compacted
+    # config at ≤25.8 M; (b) stop-based selection over-selects massively
+    # (46% of lanes are nominally active at cap 12 with χ²_p99 ~1e-8);
+    # (c) χ²-based selection (lm_fit_pallas_compacted select_chi2) can't
+    # recover the tail either — the recovery stragglers are LOW-χ² lanes
+    # slowly polishing the exponent direction, invisible to any χ²
+    # threshold (measured recovery 0.978 vs flat-24's 0.982 at lower
+    # throughput). Knobs stay env-overridable for sweeps.
+    first_itmax = int(os.environ.get("BENCH_FIRST_ITMAX", "24"))
+    # tail_frac = 0 (default) runs the flat single-phase schedule at
+    # first_itmax; > 0 enables the two-phase compaction schedule
+    tail_frac = int(os.environ.get("BENCH_TAIL_FRAC", "0"))
+    # χ²-based tail selection (0 = stop-based): polish only lanes whose χ²
+    # says they are actually unfit — see lm_fit_pallas_compacted
+    select_chi2 = float(os.environ.get("BENCH_SELECT_CHI2", "0") or 0)
     opts = LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=60, tau=1e-10)
 
     @jax.jit
     def fit(ang, target):
+        from brdf_tpu.ops.lm_pallas import lm_fit_pallas
+
         p0 = linear_grid_init(MODEL, ang, target)
-        res = lm_fit_pallas_compacted(
-            MODEL, ang, target, p0, opts=opts,
-            lower=tuple(spec.lower), upper=tuple(spec.upper),
-            first_itmax=first_itmax, tail_frac=tail_frac,
-        )
+        if tail_frac == 0:
+            res = lm_fit_pallas(
+                MODEL, ang, target, p0, opts=opts._replace(itmax=first_itmax),
+                lower=tuple(spec.lower), upper=tuple(spec.upper),
+            )
+        else:
+            res = lm_fit_pallas_compacted(
+                MODEL, ang, target, p0, opts=opts,
+                lower=tuple(spec.lower), upper=tuple(spec.upper),
+                first_itmax=first_itmax, tail_frac=tail_frac,
+                select_chi2=select_chi2 or None,
+            )
         # digest: a scalar whose readback forces the whole program — kept
         # inside THIS program because every distinct program pays a large
         # one-time first-execution cost on the tunneled runtime
@@ -164,7 +184,8 @@ def main():
             (np.asarray(stop) == 3).mean()  # MAX_ITERATIONS after BOTH phases
         ),
         "fit_schedule": {"first_itmax": first_itmax, "tail_frac": tail_frac,
-                         "tail_itmax": opts.itmax},
+                         "tail_itmax": opts.itmax,
+                         "select_chi2": select_chi2},
     }
 
     out = {

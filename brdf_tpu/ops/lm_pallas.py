@@ -1226,6 +1226,7 @@ def lm_fit_pallas_compacted(
     block_t: int = 1024,
     first_itmax: int = 8,
     tail_frac: int = 8,
+    select_chi2: float | None = None,
     interpret: bool = False,
 ) -> PallasFitResult:
     """Two-phase fused fit with TAIL COMPACTION.
@@ -1253,10 +1254,24 @@ def lm_fit_pallas_compacted(
     3, p99 17), so phase 2's 60-iteration budget over T/8 lanes costs as
     many block-iterations as phase 1 saved (6.1 ms vs the flat itmax=16
     cap's 3.0 ms per 131k batch), and the default slab overflowed (recovery
-    0.940 vs 0.977). It pays only for THIN tails — e.g. production scene
-    fits where >99.9% of texels converge inside ``first_itmax`` — which is
-    why the bench and drivers default to a flat cap and this wrapper is an
-    explicit opt-in for tail-heavy workloads with a measured tail size.
+    0.940 vs 0.977). **Re-measured r4** (quiet host, sweeps in
+    ``runs/evidence_r4{b,c}_summary.json``): still loses, for two further
+    reasons — the gather/second-launch glue costs ~2 ms FIXED on this
+    runtime (launch count, not FLOPs), and the bench's recovery stragglers
+    are *low-χ²* lanes slowly polishing the exponent direction, so neither
+    stop-based nor ``select_chi2`` selection finds a small-enough slab
+    (best compacted row 25.8 M fits/s vs flat-24's 33.6 M at equal
+    recovery). It pays only for THIN, *high-χ²* tails — e.g. production
+    scene fits where >99.9% of texels converge inside ``first_itmax`` —
+    which is why the bench and drivers default to a flat cap and this
+    wrapper is an explicit opt-in for tail-heavy workloads with a measured
+    tail size.
+
+    ``select_chi2``: when set, phase 2 gathers lanes with ``χ² >
+    select_chi2`` instead of ``stop == MAX_ITERATIONS`` — polishes
+    genuinely-unfit lanes (including ones that stopped badly, which get a
+    Kanzow damping re-init) rather than everything the iteration cap
+    happened to interrupt.
 
     This is the TPU answer to levmar's per-problem adaptive iteration
     counts (``lm_core.c`` loops each problem independently on a CPU): batch
@@ -1270,7 +1285,18 @@ def lm_fit_pallas_compacted(
     )
     t = target.shape[0]
     cap = max(block_t, t // tail_frac)
-    active = r1.stop == jnp.int32(StopReason.MAX_ITERATIONS)
+    if select_chi2 is not None:
+        # χ²-based tail selection (r4): `stop == MAX_ITERATIONS` drastically
+        # over-selects — measured on the bench distribution, 46% of lanes
+        # are still nominally active at a 12-iteration cap while chi2_p99 is
+        # ~1e-8, i.e. almost all of them already fit their data and merely
+        # haven't tripped a tolerance. Selecting lanes whose χ² exceeds the
+        # threshold polishes only the genuinely-unfit tail (including lanes
+        # that STOPPED badly, which stop-based selection misses) at a
+        # fraction of phase 2's cost.
+        active = r1.chi2 > jnp.float32(select_chi2)
+    else:
+        active = r1.stop == jnp.int32(StopReason.MAX_ITERATIONS)
     # fill = t (out of range): gathers clip to the last row (garbage lanes,
     # zero weight), scatters drop
     idx = jnp.nonzero(active, size=cap, fill_value=t)[0]
@@ -1281,7 +1307,16 @@ def lm_fit_pallas_compacted(
         weights = jnp.ones_like(target)
     ang_g = jax.tree.map(lambda a: a[idx_c], angles)
     w_g = weights[idx_c] * valid[:, None]
-    warm = (r1.mu[idx_c], r1.nu[idx_c], jnp.zeros((cap,), jnp.float32))
+    # Damping carry: lanes gathered mid-run (stop == MAX_ITERATIONS) resume
+    # their (μ, ν); lanes that STOPPED badly (χ²-selected) get μ ≤ 0 — the
+    # Kanzow re-init — since resuming their exact state would just retake
+    # the same step and re-trigger the same stop.
+    still_running = r1.stop[idx_c] == jnp.int32(StopReason.MAX_ITERATIONS)
+    warm = (
+        jnp.where(still_running, r1.mu[idx_c], 0.0),
+        jnp.where(still_running, r1.nu[idx_c], 2.0),
+        jnp.zeros((cap,), jnp.float32),
+    )
     r2 = lm_fit_pallas(
         model, ang_g, target[idx_c], r1.p[idx_c], weights=w_g,
         opts=opts, lower=lower, upper=upper,

@@ -282,3 +282,39 @@ def test_compacted_two_phase_matches_flat():
     # chi2 never worse than flat (tail got >= the same budget)
     assert float(np.median(np.asarray(comp.chi2))) <= \
         float(np.median(np.asarray(flat.chi2))) * 1.5 + 1e-12
+
+
+def test_compacted_chi2_selection():
+    """``select_chi2``: phase 2 gathers by χ² instead of stop code —
+    recovery must not regress vs the flat phase-1-only run, and lanes whose
+    χ² was already below the threshold keep their phase-1 results bit-for-
+    bit (they were never gathered)."""
+    from brdf_tpu.ops.lm_pallas import lm_fit_pallas_compacted
+
+    ang, target, true_p = _problem("blinn_phong", 512, 16, seed=13)
+    spec = MODELS["blinn_phong"]
+    p0 = linear_grid_init("blinn_phong", ang, target).astype(jnp.float32)
+    opts = LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=60, tau=1e-10)
+    kw = dict(lower=tuple(spec.lower), upper=tuple(spec.upper),
+              block_t=128, interpret=True)
+    thresh = 1e-9
+    flat = lm_fit_pallas("blinn_phong", ang, target, p0,
+                         opts=opts._replace(itmax=12), **kw)
+    comp = lm_fit_pallas_compacted(
+        "blinn_phong", ang, target, p0, opts=opts, first_itmax=12,
+        tail_frac=4, select_chi2=thresh, **kw,
+    )
+    rel_f = (np.abs(np.asarray(flat.p) - true_p)
+             / np.maximum(np.abs(true_p), 1e-3)).max(-1)
+    rel_c = (np.abs(np.asarray(comp.p) - true_p)
+             / np.maximum(np.abs(true_p), 1e-3)).max(-1)
+    assert (rel_c < 1e-2).mean() >= (rel_f < 1e-2).mean() - 1e-9
+    untouched = np.asarray(flat.chi2) <= thresh
+    assert untouched.any()
+    np.testing.assert_array_equal(
+        np.asarray(comp.p)[untouched], np.asarray(flat.p)[untouched]
+    )
+    # gathered lanes end at or below their phase-1 chi2
+    polished = ~untouched
+    assert np.all(np.asarray(comp.chi2)[polished]
+                  <= np.asarray(flat.chi2)[polished] + 1e-12)
