@@ -110,13 +110,16 @@ def main():
     # χ²-based tail selection (0 = stop-based): polish only lanes whose χ²
     # says they are actually unfit — see lm_fit_pallas_compacted
     select_chi2 = float(os.environ.get("BENCH_SELECT_CHI2", "0") or 0)
+    # measured r4e: refinement costs 10.6% at itmax=24 for zero recovery
+    # gain on this distribution (see linear_grid_init docstring) — off
+    init_refine = os.environ.get("BENCH_INIT_REFINE", "0") != "0"
     opts = LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=60, tau=1e-10)
 
     @jax.jit
     def fit(ang, target):
         from brdf_tpu.ops.lm_pallas import lm_fit_pallas
 
-        p0 = linear_grid_init(MODEL, ang, target)
+        p0 = linear_grid_init(MODEL, ang, target, refine=init_refine)
         if tail_frac == 0:
             res = lm_fit_pallas(
                 MODEL, ang, target, p0, opts=opts._replace(itmax=first_itmax),

@@ -95,6 +95,7 @@ def linear_grid_init(
     target: jnp.ndarray,
     shape_grid: np.ndarray | None = None,
     weights: jnp.ndarray | None = None,
+    refine: bool = False,
 ) -> jnp.ndarray:
     """Best (kd, ks, shape…) start per texel from a shape-parameter grid.
 
@@ -105,6 +106,19 @@ def linear_grid_init(
       target: measured intensities ``(..., V)``.
       shape_grid: ``(G, k)`` nonlinear-parameter grid (default per model).
       weights: optional per-(texel, view) weights (e.g. visibility masks).
+      refine: for single-shape-parameter models, parabolically interpolate
+        the χ²(shape) minimum between the best grid point and its neighbors
+        (in the grid's own spacing — log for the exponent, linear for
+        roughness) and re-solve the NNLS at the refined per-texel shape.
+        Measured r4 (runs/evidence_r4{d,e}_summary.json, one v5e chip):
+        cuts the MEDIAN initial exponent error ~6× (0.098 → 0.016) but
+        leaves fused-LM recovery UNCHANGED at every itmax — the recovery
+        tail is non-convex/ill-conditioned lanes whose init error the
+        parabola cannot fix (init p99 unchanged) — while costing ~10% of a
+        131k-texel itmax-24 fit even in its gather-free form. Off by
+        default; the block-until-slowest-lane cost model means a median-
+        only improvement buys nothing here. Opt in for workloads billed
+        per ITERATION rather than per block (e.g. the vmapped XLA tier).
 
     Returns:
       ``(..., n_params)`` initial parameters (= linear + k shape columns).
@@ -172,7 +186,7 @@ def linear_grid_init(
         return (
             jnp.where(better[..., None], p_gi, best_p),
             jnp.where(better, cost, best_cost),
-        ), None
+        ), cost
 
     init = (
         jnp.zeros(target.shape[:-1] + (spec.n_params,), dtype),
@@ -180,9 +194,106 @@ def linear_grid_init(
     )
     # lax.scan keeps the compiled graph one-grid-point big (16 unrolled model
     # evaluations were a compile-time hot spot on the remote TPU compiler)
-    (best_p, _), _ = jax.lax.scan(step, init, grid)
+    (best_p, best_cost), costs = jax.lax.scan(step, init, grid)
+
+    if refine and k == 1 and g_count >= 3:
+        best_p, best_cost = _parabolic_refine(
+            spec, angles, weights, ty, shape_grid, costs, best_p, best_cost,
+            n_lin, dtype,
+        )
 
     # keep the start strictly inside the solver's default box
     lo = jnp.asarray(spec.lower, dtype)
     hi = jnp.asarray(spec.upper, dtype)
     return jnp.clip(best_p, lo, hi)
+
+
+def _parabolic_refine(spec, angles, weights, ty, shape_grid, costs,
+                      best_p, best_cost, n_lin, dtype):
+    """Interpolate the χ²(shape) minimum between grid points.
+
+    The coarse grid's half-spacing is the dominant error of the start (e.g.
+    the 16-point exponent grid spans 1..300 geometrically → ±20% exponent
+    error, which the bounded-LM tail then polishes slowly along its
+    ill-conditioned direction). χ²(shape) after profiling out the linear
+    parameters is smooth, so a parabola through the best grid point and its
+    two neighbors — in the grid's own coordinate (log for geometric grids,
+    linear otherwise) — lands within a few percent. One extra per-texel
+    NNLS at the refined shape; the refined start is kept only where its χ²
+    actually improves, so this can never be worse than the grid answer.
+    """
+    g1 = np.ravel(np.asarray(shape_grid, np.float64))
+    g_count = g1.shape[0]
+    use_log = bool((g1 > 0).all())
+    tg_np = np.log(g1) if use_log else g1
+
+    i = jnp.argmin(costs, axis=0)                     # (...,)
+    ic = jnp.clip(i, 1, g_count - 2)
+    edge = i != ic                                    # argmin at grid edge
+
+    # Gather-free selection: per-texel row lookups lower to generic gathers
+    # that run on the TPU scalar core (measured +4.4 ms/batch at T=131k,
+    # doubling the whole fit); one-hot masked reductions over the small G
+    # axis are pure VPU work instead.
+    iota = jnp.arange(g_count, dtype=jnp.int32)
+    oc = (iota[(...,) + (None,) * ic.ndim] == ic[None]).astype(dtype)  # (G, ...)
+
+    def sel(stack):                                   # Σ_g stack[g]·oc[g]
+        return jnp.sum(stack * oc, axis=0)
+
+    pad_top = costs[:1]
+    pad_bot = costs[-1:]
+    c0 = sel(costs)
+    cm = sel(jnp.concatenate([pad_top, costs[:-1]], axis=0))   # costs[ic-1]
+    cp = sel(jnp.concatenate([costs[1:], pad_bot], axis=0))    # costs[ic+1]
+
+    def selv(vec):                                    # (G,) per-texel via oc
+        return sel(vec.reshape((g_count,) + (1,) * ic.ndim))
+
+    tgv = jnp.asarray(tg_np, dtype)
+    t0 = selv(tgv)
+    tm = selv(jnp.concatenate([tgv[:1], tgv[:-1]]))
+    tp = selv(jnp.concatenate([tgv[1:], tgv[-1:]]))
+
+    denom = cm - 2.0 * c0 + cp
+    delta = jnp.where(denom > 1e-30, 0.5 * (cm - cp) / denom, 0.0)
+    delta = jnp.clip(delta, -1.0, 1.0)
+    # possibly non-uniform spacing: step toward the chosen neighbor
+    tn = jnp.where(delta >= 0, tp, tm)
+    # edge lanes (argmin at the grid boundary) keep their grid value: for
+    # them ic != i and t0 is the CLIPPED neighbor, so recompute from i
+    oi = (iota[(...,) + (None,) * i.ndim] == i[None]).astype(dtype)
+    t_at_i = jnp.sum(tgv.reshape((g_count,) + (1,) * i.ndim) * oi, axis=0)
+    t_ref = jnp.where(edge, t_at_i, t0 + jnp.abs(delta) * (tn - t0))
+    shape_ref = jnp.exp(t_ref) if use_log else t_ref  # (...,)
+
+    one = jnp.ones_like(shape_ref)
+    zero = jnp.zeros_like(shape_ref)
+    if n_lin == 1:
+        a = spec.fn(jnp.stack([one, shape_ref], axis=-1), angles)
+        aw = a * weights
+        aa = jnp.sum(aw * a, axis=-1)
+        ay = jnp.sum(a * ty, axis=-1)
+        kd = jnp.maximum(ay / jnp.maximum(aa, 1e-30), 0.0)
+        cost_ref = kd * kd * aa - 2.0 * kd * ay
+        p_ref = jnp.stack([kd, shape_ref], axis=-1)
+    else:
+        a = spec.fn(jnp.stack([one, zero, shape_ref], axis=-1), angles)
+        b = spec.fn(jnp.stack([zero, one, shape_ref], axis=-1), angles)
+        aw = a * weights
+        bw = b * weights
+        aa = jnp.sum(aw * a, axis=-1)
+        ab = jnp.sum(aw * b, axis=-1)
+        bb = jnp.sum(bw * b, axis=-1)
+        ay = jnp.sum(a * ty, axis=-1)
+        by = jnp.sum(b * ty, axis=-1)
+        kd, ks = _nnls2(aa, ab, bb, ay, by)
+        cost_ref = (kd * kd * aa + ks * ks * bb + 2 * kd * ks * ab
+                    - 2 * (kd * ay + ks * by))
+        p_ref = jnp.stack([kd, ks, shape_ref], axis=-1)
+
+    better = cost_ref < best_cost
+    return (
+        jnp.where(better[..., None], p_ref, best_p),
+        jnp.where(better, cost_ref, best_cost),
+    )

@@ -101,6 +101,30 @@ def test_linear_init_alone_is_close(cup_angles):
     assert np.median(rms) < 1e-2
 
 
+def test_linear_init_parabolic_refine(cup_angles):
+    """``refine=True`` interpolates the shape between grid points: the
+    refined start's data misfit is never worse than the grid answer (kept
+    only on improvement) and the exponent error drops substantially at the
+    median."""
+    spec = MODELS["blinn_phong"]
+    rng = np.random.default_rng(7)
+    true_p = np.asarray(_sample_params("blinn_phong", rng, T))
+    target = spec.fn(jnp.asarray(true_p), cup_angles)
+
+    def chi2(p):
+        r = np.asarray(spec.fn(jnp.asarray(p), cup_angles) - target)
+        return (r * r).sum(-1)
+
+    p_grid = np.asarray(linear_grid_init("blinn_phong", cup_angles, target))
+    p_ref = np.asarray(
+        linear_grid_init("blinn_phong", cup_angles, target, refine=True)
+    )
+    assert np.all(chi2(p_ref) <= chi2(p_grid) + 1e-6)
+    err_g = np.abs(p_grid[:, 2] - true_p[:, 2]) / true_p[:, 2]
+    err_r = np.abs(p_ref[:, 2] - true_p[:, 2]) / true_p[:, 2]
+    assert np.median(err_r) < 0.5 * np.median(err_g)
+
+
 def test_noisy_roundtrip(cup_angles):
     """With measurement noise the fit should land near truth (not exactly),
     mirroring expfit.c's noisy synthetic fit."""
