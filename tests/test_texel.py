@@ -40,6 +40,30 @@ def test_sample_views_visibility(synthetic):
     assert err.max() < 0.05
 
 
+def test_pixel_granularity_joint_fit(synthetic):
+    """Config 4 at the reference's native granularity: a pixel-level problem
+    built with geometry feeds the m=9 joint normal-map fit end-to-end (the
+    per-PIXEL normal-map estimation path)."""
+    from brdf_tpu.pipeline.fit import fit_joint_normalmap
+    from brdf_tpu.solver.lm import LMOptions
+
+    scene, _ = _make_synthetic_scene(subdiv=2, seed=5)
+    prob = build_pixel_problem(scene, stride=4, smooth_normals=False,
+                               with_geometry=True)
+    res, jspec = fit_joint_normalmap(
+        prob, "cook_torrance",
+        opts=LMOptions(eps1=1e-6, eps2=1e-7, eps3=1e-12, itmax=10),
+        engine="xla",
+    )
+    t = len(prob.face_ids)
+    assert res.p.shape == (t, 9)
+    assert bool(jnp.isfinite(res.chi2).all())
+    # flat-shaded synthetic data with matching face normals: the fitted
+    # tangent offsets should stay small
+    off = np.abs(np.asarray(res.p[:, 7:9]))
+    assert np.median(off) < 0.15
+
+
 def test_pixel_problem_fit_quality(synthetic):
     """Pixel-granularity fit on the synthetic scene reaches the noise floor
     (flat-shaded generation; texels use face normals to match)."""
