@@ -288,6 +288,22 @@ def cmd_export(args) -> int:
         print(cov_path)
 
     summary = {"model": cfg.model.model, "texels": int(t)}
+    if meta["mode"] == "joint":
+        # fitted normal map: tangent offsets (ou, ov) → a standard
+        # RG=offset / B=z normal-map visualization + raw offsets in the npz
+        # (the render path consumes them via perturbed_angles)
+        jp = np.asarray(arrays["joint_params"])
+        off = jp[:, 7:9]                                  # (T, 2)
+        z = np.sqrt(np.clip(1.0 - (off ** 2).sum(-1), 0.0, 1.0))
+        rgb = np.stack([off[:, 0] * 0.5 + 0.5,
+                        off[:, 1] * 0.5 + 0.5, z], -1)    # (T, 3)
+        _save_png(to_image(rgb.astype(np.float32)),
+                  os.path.join(out, "param_normalmap.png"))
+        summary["normal_offset"] = {
+            "median_abs": [float(np.median(np.abs(off[:, 0]))),
+                           float(np.median(np.abs(off[:, 1])))],
+            "max_abs": float(np.abs(off).max()),
+        }
     for j, pname in enumerate(spec.param_names[:m]):
         vals = np.asarray(params[:, :, j])      # (T, C)
         lo, hi = float(vals.min()), float(vals.max())
