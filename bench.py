@@ -113,7 +113,11 @@ def main():
     # measured r4e: refinement costs 10.6% at itmax=24 for zero recovery
     # gain on this distribution (see linear_grid_init docstring) — off
     init_refine = os.environ.get("BENCH_INIT_REFINE", "0") != "0"
-    opts = LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=60, tau=1e-10)
+    damping = os.environ.get("BENCH_DAMPING", "add")
+    # marquardt's dimensionless μ0: τ=1e-10·maxdiag ≈ GN either way at init,
+    # but backoff after rejections scales per-direction instead of flat
+    opts = LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=60, tau=1e-10,
+                     damping=damping)
 
     @jax.jit
     def fit(ang, target):
@@ -188,7 +192,7 @@ def main():
         ),
         "fit_schedule": {"first_itmax": first_itmax, "tail_frac": tail_frac,
                          "tail_itmax": opts.itmax,
-                         "select_chi2": select_chi2},
+                         "select_chi2": select_chi2, "damping": damping},
     }
 
     out = {

@@ -240,10 +240,16 @@ def _lm_kernel(
         g_inf = functools.reduce(jnp.maximum, [jnp.abs(x) for x in pg])
         grad_conv = g_inf <= eps1
 
-        # Kanzow μ init only when no (warm) μ was carried in (μ ≤ 0)
+        # Kanzow μ init only when no (warm) μ was carried in (μ ≤ 0).
+        # Marquardt damping scales per-direction (μ·diag), so its μ is
+        # dimensionless and initializes to τ directly.
+        marquardt = opts.damping == "marquardt"
+        max_diag = functools.reduce(
+            jnp.maximum, [a[(j, j)] for j in range(m)]
+        )
         mu = jnp.where(
             (row(s, R_IT) == 0.0) & (row(s, R_MU) <= 0.0),
-            tau * functools.reduce(jnp.maximum, [a[(j, j)] for j in range(m)]),
+            tau if marquardt else tau * max_diag,
             row(s, R_MU),
         )
 
@@ -255,7 +261,14 @@ def _lm_kernel(
         free = [jnp.where(frozen[j], 0.0, 1.0) for j in range(m)]
         af = {}
         for j in range(m):
-            af[(j, j)] = jnp.where(frozen[j], 1.0, a[(j, j)] + mu)
+            if marquardt:
+                # μ·(a_jj + ε·maxdiag): the absolute floor keeps the damped
+                # system SPD for zero-information columns (e.g. the exponent
+                # of a ks=0 lane, whose Jacobian column is identically 0)
+                damp = mu * (a[(j, j)] + 1e-8 * max_diag + _TINY)
+            else:
+                damp = mu
+            af[(j, j)] = jnp.where(frozen[j], 1.0, a[(j, j)] + damp)
         for j in range(m):
             for k in range(j + 1, m):
                 af[(j, k)] = a[(j, k)] * free[j] * free[k]

@@ -79,6 +79,18 @@ class LMOptions(NamedTuple):
     linsolver: str = "cholesky"   # damped-system solver: "cholesky" | "qr" |
                                   # "lu" | "svd" (the levmar Ax=b suite,
                                   # levmar/Axb_core.c — see _solve_damped)
+    damping: str = "add"          # "add": JᵀJ + μI (levmar, lm_core.c:306) |
+                                  # "marquardt": JᵀJ + μ·diag(JᵀJ) — scale-
+                                  # invariant backoff; μ0 = tau directly
+                                  # (dimensionless). Fused-Pallas-tier
+                                  # option; measured r4 on the bench
+                                  # distribution it RECOVERS WORSE at equal
+                                  # itmax (0.933 vs 0.974 @ 12, 0.977 vs
+                                  # 0.979 @ 24): with a near-GN τ the flat
+                                  # μI backoff is the better trust region
+                                  # there. Kept for ill-scaled problems
+                                  # where a flat μ dominates weak
+                                  # directions.
 
 
 class LMResult(NamedTuple):
