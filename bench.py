@@ -11,13 +11,16 @@ is our fits/s divided by that.
 
 The workload here is the same statistical task (random blinn-phong texels,
 16 views, randomized angles, fit from scratch) solved by this framework's
-pipeline: linear grid init + the fused Pallas LM kernel (the whole solve
-VMEM-resident, ops/lm_pallas.py) at the measured throughput/recovery
-frontier (flat itmax=24 — see the schedule comment in main() for the
-r4 ladder and why tail compaction was re-measured and rejected), float32,
-on whatever jax.default_backend() provides (the driver runs it on one TPU
-v5e chip). A quality gate (median χ², overall + per-parameter recovery)
-guards against "fast but wrong" regressions.
+production per-texel engine for separable lobes: grid init + the profiled
+variable-projection solver (solver/varpro.py — closed-form NNLS for the
+linear pair, safeguarded 1-D Newton with Kaufman's projected curvature on
+the shape parameter, FIXED iteration count so a batched block has no
+slowest-lane tail), float32, on whatever jax.default_backend() provides
+(the driver runs it on one TPU v5e chip). The fused Pallas LM kernel
+(ops/lm_pallas.py) remains the general-lobe engine and is selectable with
+BENCH_ENGINE=lm; the engine comment in main() records the measured
+ladder of both. A quality gate (median χ², overall + per-parameter
+recovery) guards against "fast but wrong" regressions.
 """
 
 from __future__ import annotations
@@ -103,6 +106,17 @@ def main():
     # slowly polishing the exponent direction, invisible to any χ²
     # threshold (measured recovery 0.978 vs flat-24's 0.982 at lower
     # throughput). Knobs stay env-overridable for sweeps.
+    # engine: "varpro" (default) = the profiled variable-projection solver
+    # (solver/varpro.py) — the separable structure of the lobe makes the
+    # fit a 1-D Newton on the profiled objective with FIXED iteration
+    # count, which beats the fused-LM frontier on BOTH axes (measured
+    # quiet-host, runs/evidence_r4f_summary.json: 66.7M fits/s @ recovery
+    # 0.9841 and χ²_med 2.4e-14 at k=6, vs flat-24 LM's 33.6M @ 0.9816 and
+    # 1.2e-10; the k ladder 4/6/8/12 → 71.7/67.4/63.1/55.9M at
+    # 0.979/0.984/0.986/0.988). "lm" = the fused Pallas LM kernel (the
+    # general-lobe engine and the r3 headline path).
+    engine = os.environ.get("BENCH_ENGINE", "varpro")
+    varpro_iters = int(os.environ.get("BENCH_VARPRO_ITERS", "6"))
     first_itmax = int(os.environ.get("BENCH_FIRST_ITMAX", "24"))
     # tail_frac = 0 (default) runs the flat single-phase schedule at
     # first_itmax; > 0 enables the two-phase compaction schedule
@@ -123,6 +137,15 @@ def main():
     def fit(ang, target):
         from brdf_tpu.ops.lm_pallas import lm_fit_pallas
 
+        if engine == "varpro":
+            from brdf_tpu.solver.varpro import varpro_fit
+
+            res = varpro_fit(
+                MODEL, ang, target, iters=varpro_iters,
+                lower=tuple(spec.lower), upper=tuple(spec.upper),
+            )
+            digest = jnp.sum(res.p[:1]) + jnp.sum(res.chi2[:1])
+            return res.p, res.chi2, res.stop, digest
         p0 = linear_grid_init(MODEL, ang, target, refine=init_refine)
         if tail_frac == 0:
             res = lm_fit_pallas(
@@ -187,12 +210,16 @@ def main():
         "chi2_p99": float(np.percentile(chi2_np, 99)),
         "recovery_frac": float((rel.max(-1) < 1e-2).mean()),
         "recovery_per_param": per_param,
+        # unfit tail: varpro runs a FIXED k for every lane (its stop=3 just
+        # means "k done"), so the meaningful tail there is χ²-based
         "tail_active_frac": float(
-            (np.asarray(stop) == 3).mean()  # MAX_ITERATIONS after BOTH phases
+            (chi2_np > 1e-8).mean() if engine == "varpro"
+            else (np.asarray(stop) == 3).mean()   # MAX_ITERATIONS post-polish
         ),
-        "fit_schedule": {"first_itmax": first_itmax, "tail_frac": tail_frac,
-                         "tail_itmax": opts.itmax,
-                         "select_chi2": select_chi2, "damping": damping},
+        "fit_schedule": {"engine": engine, "first_itmax": first_itmax,
+                         "tail_frac": tail_frac, "tail_itmax": opts.itmax,
+                         "select_chi2": select_chi2, "damping": damping,
+                         "varpro_iters": varpro_iters},
     }
 
     out = {

@@ -612,8 +612,11 @@ def main(argv=None) -> int:
     f.add_argument("--config")
     f.add_argument("--scene")
     f.add_argument("--model", default="blinn_phong")
-    f.add_argument("--engine", default="auto", choices=["auto", "pallas", "xla"],
-                   help="solver tier for ad-hoc --scene fits (presets carry their own)")
+    f.add_argument("--engine", default="auto",
+                   choices=["auto", "pallas", "xla", "varpro"],
+                   help="solver tier for ad-hoc --scene fits (presets carry "
+                        "their own); varpro = profiled variable projection "
+                        "(separable m=3 lobes)")
     f.add_argument("--robust", default="none",
                    choices=["none", "huber", "cauchy", "tukey"],
                    help="IRLS robust reweighting for ad-hoc --scene fits")

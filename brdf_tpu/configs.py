@@ -43,7 +43,7 @@ class SolverConfig:
     eps2: float = 1e-8
     eps3: float = 1e-14
     tau: float = 1e-3
-    engine: str = "auto"              # auto | pallas | xla
+    engine: str = "auto"              # auto | pallas | xla | varpro
     robust: str | None = None         # None | huber | cauchy | tukey
     robust_iters: int = 2
     mask_saturation: bool = True

@@ -1,0 +1,190 @@
+"""Variable-projection solver (solver/varpro.py).
+
+The profiled 1-D Newton must reach the same minima as the general
+box-constrained LM on separable lobes — with a FIXED iteration count and
+a χ² floor at the f32 roundoff of the residual (no Gram-identity
+cancellation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brdf_tpu.models.brdf import MODELS, ShadingAngles
+from brdf_tpu.solver.init import linear_grid_init
+from brdf_tpu.solver.lm import LMOptions, levmar_bc
+from brdf_tpu.solver.varpro import _SEPARABLE, VarProResult, varpro_fit
+
+
+def _sample(model, rng, t):
+    if model in ("phong", "blinn_phong"):
+        shape = rng.uniform(2.0, 30.0, t)
+    else:
+        shape = rng.uniform(0.15, 0.9, t)
+    return np.stack(
+        [rng.uniform(0.1, 0.9, t), rng.uniform(0.2, 1.0, t), shape], -1
+    ).astype(np.float32)
+
+
+def _problem(model, t=2048, v=16, seed=0):
+    rng = np.random.default_rng(seed)
+    ang = ShadingAngles(
+        cos_ln=jnp.asarray(rng.uniform(0, 1, (t, v)), jnp.float32),
+        cos_nh=jnp.asarray(rng.uniform(0, 1, (t, v)), jnp.float32),
+        cos_rv=jnp.asarray(rng.uniform(-1, 1, (t, v)), jnp.float32),
+        cos_vn=jnp.asarray(rng.uniform(0.1, 1, (t, v)), jnp.float32),
+    )
+    true_p = _sample(model, rng, t)
+    target = MODELS[model].fn(jnp.asarray(true_p), ang)
+    return ang, target, true_p
+
+
+def _recovery(p, true_p):
+    rel = (np.abs(np.asarray(p) - true_p)
+           / np.maximum(np.abs(true_p), 1e-3)).max(-1)
+    return float((rel < 1e-2).mean())
+
+
+@pytest.mark.parametrize("model", sorted(_SEPARABLE))
+def test_varpro_roundtrip(model):
+    """Synthetic roundtrip per separable lobe: χ² at the f32 floor and
+    parameter recovery at least matching the LM engine's."""
+    ang, target, true_p = _problem(model, seed=1)
+    res = varpro_fit(model, ang, target, iters=8)
+    assert isinstance(res, VarProResult)
+    chi2 = np.asarray(res.chi2)
+    assert np.isfinite(chi2).all()
+    assert np.median(chi2) < 1e-10
+    # phong's clamped cos_rv halves the informative views under random
+    # angles — LM measures 0.884 recovery on the same problem
+    assert _recovery(res.p, true_p) > (0.85 if model == "phong" else 0.95)
+
+    spec = MODELS[model]
+
+    def residual(p, data):
+        a, y = data
+        return spec.fn(p, a) - y
+
+    p0 = linear_grid_init(model, ang, target)
+    lm = levmar_bc(
+        residual, p0, spec.lower, spec.upper, data=(ang, target),
+        opts=LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=40, tau=1e-10),
+    )
+    assert _recovery(res.p, true_p) >= _recovery(lm.p, true_p) - 0.02
+
+
+def test_varpro_weights_mask_views():
+    """Zero-weight views (saturation/shadow masks) must not influence the
+    fit: poisoning masked views changes nothing."""
+    ang, target, true_p = _problem("blinn_phong", seed=3)
+    w = jnp.ones_like(target).at[:, 10:].set(0.0)
+    bad = target.at[:, 10:].set(77.0)
+    res_clean = varpro_fit("blinn_phong", ang, target, weights=w, iters=8)
+    res_bad = varpro_fit("blinn_phong", ang, bad, weights=w, iters=8)
+    np.testing.assert_array_equal(np.asarray(res_clean.p),
+                                  np.asarray(res_bad.p))
+    assert _recovery(res_clean.p, true_p) > 0.8   # only 10 views inform it
+
+
+def test_varpro_box_respected():
+    """Fits honor the box: σ stays inside [lower, upper] and the linear
+    pair is clamped."""
+    ang, target, _ = _problem("cook_torrance", t=512, seed=5)
+    lo, hi = (0.0, 0.0, 0.2), (0.5, 0.5, 0.8)
+    res = varpro_fit("cook_torrance", ang, target, iters=8,
+                     lower=lo, upper=hi)
+    p = np.asarray(res.p)
+    assert p[:, 0].min() >= 0.0 and p[:, 0].max() <= 0.5 + 1e-6
+    assert p[:, 1].min() >= 0.0 and p[:, 1].max() <= 0.5 + 1e-6
+    assert p[:, 2].min() >= 0.2 - 1e-6 and p[:, 2].max() <= 0.8 + 1e-6
+
+
+def test_varpro_warm_start():
+    """An explicit p0 (e.g. an IRLS warm restart) is honored: starting at
+    the truth converges immediately."""
+    ang, target, true_p = _problem("blinn_phong", t=512, seed=7)
+    res = varpro_fit("blinn_phong", ang, target,
+                     p0=jnp.asarray(true_p), iters=4)
+    assert _recovery(res.p, true_p) > 0.99
+    assert float(np.median(np.asarray(res.chi2))) < 1e-12
+
+
+def test_varpro_rejects_nonseparable():
+    ang, target, _ = _problem("blinn_phong", t=16, seed=9)
+    with pytest.raises(ValueError, match="separable"):
+        varpro_fit("cook_torrance_fresnel", ang, target)
+
+
+def test_varpro_fixed_cost_semantics():
+    """Every lane runs the same k proposals (the whole point: no
+    slowest-lane tail); `iters` counts ACCEPTED steps ≤ k."""
+    ang, target, _ = _problem("blinn_phong", t=512, seed=11)
+    res = varpro_fit("blinn_phong", ang, target, iters=5)
+    it = np.asarray(res.iters)
+    assert it.max() <= 5
+    assert set(np.unique(np.asarray(res.stop))).issubset({2, 3})
+
+
+@pytest.mark.parametrize("orient", ["data", "view"])
+def test_varpro_sharded_matches_single(orient):
+    """fit_texels_sharded(engine='varpro') over a data- or view-sharded mesh
+    equals the single-device solve (the view orientation exercises the psum
+    path of every Gram/χ²/derivative reduction)."""
+    from brdf_tpu.parallel.fit import fit_texels_sharded
+    from brdf_tpu.parallel.mesh import make_mesh
+
+    n = min(8, jax.device_count())
+    if n < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    ang, target, true_p = _problem("blinn_phong", t=256, v=16, seed=15)
+    kw = dict(opts=LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=8),
+              engine="varpro")
+    if orient == "data":
+        mesh = make_mesh(data=n, view=1)
+    else:
+        mesh = make_mesh(data=1, view=n)
+    res_s = fit_texels_sharded("blinn_phong", ang, target, mesh, **kw)
+    mesh1 = make_mesh(data=1, view=1, devices=jax.devices()[:1])
+    res_1 = fit_texels_sharded("blinn_phong", ang, target, mesh1, **kw)
+    if orient == "data":
+        # per-lane math is untouched by data sharding: near-bit parity
+        np.testing.assert_allclose(
+            np.asarray(res_s.p), np.asarray(res_1.p), rtol=2e-5, atol=2e-5
+        )
+    else:
+        # view sharding changes the f32 summation order of every reduction;
+        # marginal lanes' accept decisions can bifurcate (same bar as the
+        # LM engine's free-init parity test in test_sharding): lane-wise
+        # agreement on a solid majority + equal aggregate quality
+        rel = (np.abs(np.asarray(res_s.p) - np.asarray(res_1.p))
+               / np.maximum(np.abs(np.asarray(res_1.p)), 1e-3)).max(-1)
+        assert (rel < 1e-3).mean() > 0.9
+        assert abs(_recovery(res_s.p, true_p) - _recovery(res_1.p, true_p)) < 0.05
+        assert float(np.median(np.asarray(res_s.chi2))) < 1e-10
+    assert _recovery(res_s.p, true_p) > 0.95
+
+
+def test_varpro_engine_irls_pipeline():
+    """The one-program fit pipeline (init → varpro → IRLS rounds) runs with
+    the varpro engine and rejects a grossly-poisoned view.
+
+    Tukey (redescending → weight 0) is the right ψ for gross outliers —
+    huber's soft weights leave ~0.2–0.4 on the poison and BOTH engines fail
+    with it (LM measures 0.117 recovery in the identical pipeline; varpro
+    with tukey measures 0.94 vs LM's 0.83)."""
+    from brdf_tpu.parallel.fit import fit_texels_sharded
+    from brdf_tpu.parallel.mesh import make_mesh
+
+    ang, target, true_p = _problem("blinn_phong", t=256, v=16, seed=17)
+    rng = np.random.default_rng(0)
+    bad_view = 3
+    poisoned = target.at[:, bad_view].set(
+        jnp.asarray(rng.uniform(2.0, 3.0, target.shape[0]), target.dtype)
+    )
+    mesh = make_mesh(data=1, view=1, devices=jax.devices()[:1])
+    res = fit_texels_sharded(
+        "blinn_phong", ang, poisoned, mesh,
+        opts=LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=10),
+        engine="varpro", robust="tukey", robust_iters=2,
+    )
+    assert _recovery(res.p, true_p) > 0.85
