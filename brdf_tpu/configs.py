@@ -105,7 +105,12 @@ class FitConfig:
 
 _REF = "/root/reference/img"
 
-# The BASELINE.json benchmark ladder as named presets.
+# The BASELINE.json benchmark ladder as named presets. The separable
+# per-texel presets run the VarPro engine (solver/varpro.py): measured on
+# all three real scenes it matches or beats the fused-LM tier's
+# reprojection error (cup -1.4..-3.3% MAE) at 2x its synthetic
+# throughput (runs/evidence_r4g_summary.json; the pre-BVLS attempt that
+# LOST on real scenes is kept in runs/evidence_r4g_prebvls_summary.json).
 PRESETS: dict[str, FitConfig] = {
     # (1) single-material Blinn-Phong, cup, 1 view — CPU-runnable reference
     "cup-single": FitConfig(
@@ -119,7 +124,7 @@ PRESETS: dict[str, FitConfig] = {
         name="timber-blinn",
         scene=SceneConfig(scene_dir=f"{_REF}/timber", views=[0, 5, 10, 15]),
         model=ModelConfig(model="blinn_phong"),
-        solver=SolverConfig(robust="huber"),
+        solver=SolverConfig(robust="huber", engine="varpro"),
     ),
     # (3) per-texel Cook-Torrance, bunny, all views. Plausible-reflectance
     # box: same reprojection error as [0,100]³, non-degenerate kd maps
@@ -128,7 +133,7 @@ PRESETS: dict[str, FitConfig] = {
         name="bunny-ct",
         scene=SceneConfig(scene_dir=f"{_REF}/bunny"),
         model=ModelConfig(model="cook_torrance"),
-        solver=SolverConfig(robust="huber",
+        solver=SolverConfig(robust="huber", engine="varpro",
                             lower=[0.0, 0.0, 1e-3], upper=[2.0, 2.0, 1.0]),
     ),
     # (4) joint normal-map + Cook-Torrance with bounded LM, bunny
@@ -144,7 +149,7 @@ PRESETS: dict[str, FitConfig] = {
         name="complex-relight",
         scene=SceneConfig(scene_dir=f"{_REF}/complexScene", cal_name="ipod.cal"),
         model=ModelConfig(model="cook_torrance"),
-        solver=SolverConfig(robust="tukey",
+        solver=SolverConfig(robust="tukey", engine="varpro",
                             lower=[0.0, 0.0, 1e-3], upper=[2.0, 2.0, 1.0]),
     ),
     # ---- recommended real-scan tiers beyond the original ladder ----

@@ -38,7 +38,54 @@ import jax.numpy as jnp
 import numpy as np
 
 from brdf_tpu.models.brdf import MODELS, ShadingAngles
-from brdf_tpu.solver.init import _nnls2, linear_grid_init
+from brdf_tpu.solver.init import linear_grid_init
+
+
+def _bvls2(aa, ab, bb, ay, by, l0, u0, l1, u1):
+    """Exact 2-variable BOX-constrained least squares from Gram entries:
+    ``min ‖x₀A + x₁B − y‖²  s.t.  l ≤ x ≤ u``.
+
+    The minimizer of a 2-D box QP is either the interior stationary point
+    or lies on one of the four edges, where the problem is 1-D with a
+    closed-form clamped solution — enumerate all five and take the
+    cheapest. All elementwise; replaces the NNLS-then-clamp the first
+    VarPro version used, which was measured destroying real-scene fits
+    whose specular parameter pins at the UPPER bound (bunny MAE 0.133 vs
+    the LM engine's 0.090 — clamping after an unconstrained solve leaves
+    (kd, σ) optimized for the wrong ks)."""
+    def cost(x0, x1):
+        return (x0 * x0 * aa + x1 * x1 * bb + 2.0 * x0 * x1 * ab
+                - 2.0 * (x0 * ay + x1 * by))
+
+    det = aa * bb - ab * ab
+    det_ok = jnp.abs(det) > 1e-30
+    det_s = jnp.where(det_ok, det, 1.0)
+    xi0 = (bb * ay - ab * by) / det_s
+    xi1 = (aa * by - ab * ay) / det_s
+    interior_ok = (det_ok & (xi0 >= l0) & (xi0 <= u0)
+                   & (xi1 >= l1) & (xi1 <= u1))
+
+    def solve1(num, den, lo, hi):
+        return jnp.clip(num / jnp.maximum(den, 1e-30), lo, hi)
+
+    cands = []
+    for x0_fixed in (l0, u0):          # edges x0 = const
+        x1e = solve1(by - x0_fixed * ab, bb, l1, u1)
+        cands.append((jnp.full_like(ay, x0_fixed), x1e))
+    for x1_fixed in (l1, u1):          # edges x1 = const
+        x0e = solve1(ay - x1_fixed * ab, aa, l0, u0)
+        cands.append((x0e, jnp.full_like(ay, x1_fixed)))
+
+    best0, best1 = cands[0]
+    best_c = cost(best0, best1)
+    for x0c, x1c in cands[1:]:
+        c = cost(x0c, x1c)
+        take = c < best_c
+        best0 = jnp.where(take, x0c, best0)
+        best1 = jnp.where(take, x1c, best1)
+        best_c = jnp.where(take, c, best_c)
+    take_i = interior_ok & (cost(xi0, xi1) < best_c)
+    return (jnp.where(take_i, xi0, best0), jnp.where(take_i, xi1, best1))
 
 # separable m=3 lobes: (model, σ transform) — log for the exponent (scale-
 # free Newton over decades), identity for the bounded roughness params
@@ -150,7 +197,9 @@ def varpro_fit(
         ab = rsum(aw * bw)
         bb = rsum(bw * bw)
         by = rsum(bw * yw)
-        kd, ks = _nnls2(aa, ab, bb, ay, by)
+        kd, ks = _bvls2(aa, ab, bb, ay, by,
+                        float(lo[0]), float(hi[0]),
+                        float(lo[1]), float(hi[1]))
         rw = yw - kd[..., None] * aw - ks[..., None] * bw
         chi2 = rsum(rw * rw)
         # envelope theorem: φ' = −2 Σ (w r)·(w ks·∂b/∂t) (a is t-free)

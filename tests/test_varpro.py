@@ -188,3 +188,36 @@ def test_varpro_engine_irls_pipeline():
         engine="varpro", robust="tukey", robust_iters=2,
     )
     assert _recovery(res.p, true_p) > 0.85
+
+
+def test_varpro_active_upper_bounds_match_lm():
+    """With the specular parameter PINNED at its upper bound (the real-scan
+    regime), the BVLS-based profiled solve must reach the constrained
+    optimum like LM — the NNLS-then-clamp it replaced measured bunny MAE
+    0.133 vs LM's 0.090 exactly because of this case."""
+    ang, target, _ = _problem("cook_torrance", t=512, seed=21)
+    # force the bound active: the data was generated with ks up to 1.0,
+    # box it at 0.4
+    lo, hi = (0.0, 0.0, 1e-3), (2.0, 0.4, 1.0)
+    res = varpro_fit("cook_torrance", ang, target, iters=10,
+                     lower=lo, upper=hi)
+    spec = MODELS["cook_torrance"]
+
+    def residual(p, data):
+        a, y = data
+        return spec.fn(p, a) - y
+
+    p0 = linear_grid_init("cook_torrance", ang, target)
+    lm = levmar_bc(
+        residual, p0, jnp.asarray(lo), jnp.asarray(hi), data=(ang, target),
+        opts=LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=60, tau=1e-10),
+    )
+    c_v = np.asarray(res.chi2)
+    c_l = np.asarray(lm.chi2)
+    frac_pinned = (np.asarray(res.p)[:, 1] >= 0.4 - 1e-5).mean()
+    assert frac_pinned > 0.3, "the test must actually activate the bound"
+    # constrained optima agree: varpro (fixed k=10) reaches LM-60's χ² on
+    # the vast majority of lanes within a convergence-slack factor, and
+    # matches in aggregate
+    assert (c_v <= c_l * 1.3 + 1e-9).mean() > 0.95
+    assert np.median(c_v) <= np.median(c_l) * 1.1 + 1e-12
