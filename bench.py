@@ -106,16 +106,19 @@ def main():
     # slowly polishing the exponent direction, invisible to any χ²
     # threshold (measured recovery 0.978 vs flat-24's 0.982 at lower
     # throughput). Knobs stay env-overridable for sweeps.
-    # engine: "varpro" (default) = the profiled variable-projection solver
-    # (solver/varpro.py) — the separable structure of the lobe makes the
-    # fit a 1-D Newton on the profiled objective with FIXED iteration
-    # count, which beats the fused-LM frontier on BOTH axes (measured
-    # quiet-host, runs/evidence_r4f_summary.json: 66.7M fits/s @ recovery
-    # 0.9841 and χ²_med 2.4e-14 at k=6, vs flat-24 LM's 33.6M @ 0.9816 and
-    # 1.2e-10; the k ladder 4/6/8/12 → 71.7/67.4/63.1/55.9M at
-    # 0.979/0.984/0.986/0.988). "lm" = the fused Pallas LM kernel (the
-    # general-lobe engine and the r3 headline path).
-    engine = os.environ.get("BENCH_ENGINE", "varpro")
+    # engine (measured ladder, quiet host, runs/evidence_r4{f,h}_summary.json):
+    # - "varpro_pallas" (default): the FUSED VarPro kernel
+    #   (ops/varpro_pallas.py) — whole profiled solve (grid init + k Newton
+    #   steps) VMEM-resident, angle stack read from HBM once. k=4/6/8 →
+    #   137/115/104M fits/s at recovery 0.978/0.985/0.986; shipped k=6 =
+    #   114.5M @ 0.9845 (vs_baseline 2686×). Its χ² floor is ~1e-10, set by
+    #   the TPU VPU's transcendental approximation in the in-kernel pow —
+    #   parameters are unaffected (recovery matches the XLA tier exactly).
+    # - "varpro": the XLA tier (solver/varpro.py) — identical math, HBM
+    #   pass per evaluation: 66.5M @ 0.9847, χ²_med 2.4e-14.
+    # - "lm": the fused Pallas LM kernel — the general-lobe engine; its own
+    #   frontier is flat itmax=24 = 33.6M @ 0.9816.
+    engine = os.environ.get("BENCH_ENGINE", "varpro_pallas")
     varpro_iters = int(os.environ.get("BENCH_VARPRO_ITERS", "6"))
     first_itmax = int(os.environ.get("BENCH_FIRST_ITMAX", "24"))
     # tail_frac = 0 (default) runs the flat single-phase schedule at
@@ -137,13 +140,22 @@ def main():
     def fit(ang, target):
         from brdf_tpu.ops.lm_pallas import lm_fit_pallas
 
-        if engine == "varpro":
-            from brdf_tpu.solver.varpro import varpro_fit
+        if engine in ("varpro", "varpro_pallas"):
+            if engine == "varpro_pallas":
+                from brdf_tpu.ops.varpro_pallas import varpro_fit_pallas
 
-            res = varpro_fit(
-                MODEL, ang, target, iters=varpro_iters,
-                lower=tuple(spec.lower), upper=tuple(spec.upper),
-            )
+                res = varpro_fit_pallas(
+                    MODEL, ang, target, iters=varpro_iters,
+                    lower=tuple(spec.lower), upper=tuple(spec.upper),
+                    interpret=False,
+                )
+            else:
+                from brdf_tpu.solver.varpro import varpro_fit
+
+                res = varpro_fit(
+                    MODEL, ang, target, iters=varpro_iters,
+                    lower=tuple(spec.lower), upper=tuple(spec.upper),
+                )
             digest = jnp.sum(res.p[:1]) + jnp.sum(res.chi2[:1])
             return res.p, res.chi2, res.stop, digest
         p0 = linear_grid_init(MODEL, ang, target, refine=init_refine)
@@ -213,7 +225,7 @@ def main():
         # unfit tail: varpro runs a FIXED k for every lane (its stop=3 just
         # means "k done"), so the meaningful tail there is χ²-based
         "tail_active_frac": float(
-            (chi2_np > 1e-8).mean() if engine == "varpro"
+            (chi2_np > 1e-8).mean() if engine.startswith("varpro")
             else (np.asarray(stop) == 3).mean()   # MAX_ITERATIONS post-polish
         ),
         "fit_schedule": {"engine": engine, "first_itmax": first_itmax,

@@ -1,0 +1,264 @@
+"""Fused Pallas VarPro kernel: the whole profiled solve VMEM-resident.
+
+The XLA tier (``solver/varpro.py``) re-reads the angle/target stacks from
+HBM for every grid point of the init and every Newton step — ~20 passes
+over ~25 MB per 131k-texel batch. This kernel keeps one texel block's
+angles, target, and weights in VMEM for the ENTIRE solve (grid init +
+k fixed Newton steps), the same trick as the fused LM kernel
+(``lm_pallas.py::_lm_kernel``), with the per-lobe analytic evaluations
+shared from ``SHADING_KERNELS``: one ``spec.eval`` with params
+``(0, 1, σ)`` yields the specular basis (``i_val``), the σ-independent
+diffuse basis (``d_params[0]``) and ``∂b/∂σ`` (``d_params[2]``) in a
+single fused pass.
+
+Math is identical to the XLA tier (BVLS via edge enumeration, Kaufman
+projected curvature, residually-formed χ², log-coordinate with a
+degeneracy floor) — parity is tested lane-for-lane in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from brdf_tpu.models.brdf import ShadingAngles
+from brdf_tpu.ops.shading_pallas import SHADING_KERNELS
+from brdf_tpu.solver.init import default_shape_grid
+from brdf_tpu.solver.varpro import _SEPARABLE, VarProResult, _bvls2
+
+_TINY = 1e-30
+
+
+def _rsum(x):
+    return jnp.sum(x, axis=0, keepdims=True)
+
+
+def _varpro_kernel(
+    angles_ref,   # (A, V, TB)
+    y_ref,        # (V, TB)
+    w_ref,        # (V, TB)
+    out_ref,      # (8, TB): kd, ks, sigma, chi2, iters, stop, g_abs, pad
+    *,
+    spec,
+    grid: tuple,          # static shape-grid values
+    iters: int,
+    lower: tuple,
+    upper: tuple,
+    use_log: bool,
+    s_lo: float,
+    s_hi: float,
+):
+    n_angles = len(spec.angle_names)
+    angles = tuple(angles_ref[a] for a in range(n_angles))
+    y = y_ref[...]
+    w = w_ref[...]
+    yw = y * w
+    one = jnp.ones_like(y[:1])
+    zero = jnp.zeros_like(one)
+
+    def eval_sig(sig_row):
+        """(1,TB) σ → (a, b, ∂b/∂σ), each (V,TB)."""
+        i_val, d_params, _ = spec.eval(angles, (zero, one, sig_row))
+        return d_params[0], i_val, d_params[2]
+
+    l0, u0 = float(lower[0]), float(upper[0])
+    l1, u1 = float(lower[1]), float(upper[1])
+
+    # diffuse basis is σ-independent for every separable lobe
+    a, _, _ = eval_sig(zero + float(grid[0]))
+    aw = a * w
+    aa = _rsum(aw * aw)
+    ay = _rsum(aw * yw)
+
+    def solve_lin(b):
+        bw = b * w
+        ab = _rsum(aw * bw)
+        bb = _rsum(bw * bw)
+        by = _rsum(bw * yw)
+        kd, ks = _bvls2(aa, ab, bb, ay, by, l0, u0, l1, u1)
+        return kd, ks, bw, ab, bb, by
+
+    # ---- grid init (unrolled over the static grid; cost ranks only) -----
+    # float() everywhere: np.float64 scalars would promote the f32 rows
+    # under an x64-enabled process
+    best_t = zero + (float(np.log(grid[0])) if use_log else float(grid[0]))
+    best_cost = jnp.full_like(zero, jnp.inf)
+    for gval in grid:
+        sig = zero + float(gval)
+        _, b, _ = eval_sig(sig)
+        kd, ks, bw, ab, bb, by = solve_lin(b)
+        cost = (kd * kd * aa + ks * ks * bb + 2.0 * kd * ks * ab
+                - 2.0 * (kd * ay + ks * by))
+        t_g = zero + (float(np.log(gval)) if use_log else float(gval))
+        better = cost < best_cost
+        best_t = jnp.where(better, t_g, best_t)
+        best_cost = jnp.where(better, cost, best_cost)
+
+    # ---- profiled Newton (identical math to solver/varpro.py) -----------
+    def eval_at(t_row):
+        sig = jnp.exp(t_row) if use_log else t_row
+        _, b, db = eval_sig(sig)
+        db_t = db * sig if use_log else db
+        bw = b * w
+        dbw = db_t * w
+        ab = _rsum(aw * bw)
+        bb = _rsum(bw * bw)
+        by = _rsum(bw * yw)
+        kd, ks = _bvls2(aa, ab, bb, ay, by, l0, u0, l1, u1)
+        rw = yw - kd * aw - ks * bw
+        chi2 = _rsum(rw * rw)
+        g = -2.0 * ks * _rsum(rw * dbw)
+        a_db = _rsum(aw * dbw)
+        b_db = _rsum(bw * dbw)
+        det = aa * bb - ab * ab
+        det_ok = det > _TINY
+        det_s = jnp.where(det_ok, det, 1.0)
+        x1 = jnp.where(det_ok, (bb * a_db - ab * b_db) / det_s, 0.0)
+        x2 = jnp.where(det_ok, (aa * b_db - ab * a_db) / det_s, 0.0)
+        proj = _rsum(dbw * dbw) - x1 * a_db - x2 * b_db
+        h = 2.0 * ks * ks * jnp.maximum(proj, 0.0)
+        return chi2, g, h, kd, ks
+
+    span = float(s_hi - s_lo)
+    chi2_0, g0, h0, kd0, ks0 = eval_at(best_t)
+
+    # packed (8, TB) carry — one layout, same Mosaic rationale as _lm_kernel
+    R_T, R_CHI2, R_G, R_H, R_KD, R_KS, R_TRUST, R_N = range(8)
+
+    def pack(rows):
+        return jnp.concatenate([rows[i] for i in range(8)], axis=0)
+
+    def row(s, i):
+        return s[i : i + 1, :]
+
+    state = pack({
+        R_T: best_t, R_CHI2: chi2_0, R_G: g0, R_H: h0,
+        R_KD: kd0, R_KS: ks0,
+        R_TRUST: zero + 0.25 * span, R_N: zero,
+    })
+
+    def body(_, s):
+        trust = row(s, R_TRUST)
+        step = jnp.clip(
+            -row(s, R_G) / jnp.maximum(row(s, R_H), _TINY), -trust, trust
+        )
+        t_new = jnp.clip(row(s, R_T) + step, s_lo, s_hi)
+        chi2_n, g_n, h_n, kd_n, ks_n = eval_at(t_new)
+        ok = (chi2_n < row(s, R_CHI2)) & jnp.isfinite(chi2_n)
+        sel = lambda n, b: jnp.where(ok, n, b)
+        return pack({
+            R_T: sel(t_new, row(s, R_T)),
+            R_CHI2: sel(chi2_n, row(s, R_CHI2)),
+            R_G: sel(g_n, row(s, R_G)),
+            R_H: sel(h_n, row(s, R_H)),
+            R_KD: sel(kd_n, row(s, R_KD)),
+            R_KS: sel(ks_n, row(s, R_KS)),
+            R_TRUST: jnp.where(ok, jnp.minimum(trust * 2.0, span),
+                               trust * 0.25),
+            R_N: row(s, R_N) + ok.astype(jnp.float32),
+        })
+
+    final = jax.lax.fori_loop(0, iters, body, state)
+
+    sigma = jnp.exp(row(final, R_T)) if use_log else row(final, R_T)
+    converged = row(final, R_TRUST) < 1e-6 * span
+    out_ref[0:1, :] = row(final, R_KD)
+    out_ref[1:2, :] = row(final, R_KS)
+    out_ref[2:3, :] = sigma
+    out_ref[3:4, :] = jnp.maximum(row(final, R_CHI2), 0.0)
+    out_ref[4:5, :] = row(final, R_N)
+    out_ref[5:6, :] = jnp.where(converged, 2.0, 3.0)
+    out_ref[6:7, :] = jnp.abs(row(final, R_G))
+    out_ref[7:8, :] = jnp.zeros_like(sigma)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "iters", "lower", "upper", "block_t",
+                     "interpret"),
+)
+def varpro_fit_pallas(
+    model: str,
+    angles: ShadingAngles,
+    target: jnp.ndarray,        # (T, V)
+    weights: jnp.ndarray | None = None,
+    iters: int = 6,
+    lower: tuple | None = None,
+    upper: tuple | None = None,
+    block_t: int = 2048,
+    interpret: bool = False,
+) -> VarProResult:
+    """Fused VarPro solve, one VMEM-resident texel block at a time.
+
+    Same public contract as :func:`brdf_tpu.solver.varpro.varpro_fit`
+    (minus ``p0``: the grid init runs in-kernel, which is the point —
+    the angle stack is loaded from HBM exactly once)."""
+    from brdf_tpu.models.brdf import MODELS
+
+    if model not in _SEPARABLE or model not in SHADING_KERNELS:
+        raise ValueError(
+            f"varpro_fit_pallas supports separable kernel lobes, got {model!r}"
+        )
+    spec = SHADING_KERNELS[model]
+    mspec = MODELS[model]
+    lo = tuple(float(x) for x in (mspec.lower if lower is None else lower))
+    hi = tuple(float(x) for x in (mspec.upper if upper is None else upper))
+    use_log = _SEPARABLE[model] == "log"
+    sig_floor = max(lo[2], 0.25) if use_log else max(lo[2], 1e-6)
+    s_lo = float(np.log(sig_floor)) if use_log else float(sig_floor)
+    s_hi = float(np.log(hi[2])) if use_log else float(hi[2])
+    grid = tuple(
+        float(x) for x in np.ravel(default_shape_grid(model))
+        if sig_floor <= float(x) <= hi[2]
+    ) or (sig_floor,)
+
+    t, v = target.shape
+    if weights is None:
+        weights = jnp.ones_like(target)
+    pad = (-t) % block_t
+    tp = t + pad
+
+    def prep(x):   # (T, V) → (V, Tp)
+        return jnp.pad(x.astype(jnp.float32).T, ((0, 0), (0, pad)))
+
+    ang_stack = jnp.stack(
+        [prep(getattr(angles, name)) for name in spec.angle_names]
+    )
+    y = prep(target)
+    w = prep(weights)
+
+    a = len(spec.angle_names)
+    kernel = functools.partial(
+        _varpro_kernel, spec=spec, grid=grid, iters=int(iters),
+        lower=lo, upper=hi, use_log=use_log, s_lo=s_lo, s_hi=s_hi,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(tp // block_t,),
+        in_specs=[
+            pl.BlockSpec((a, v, block_t), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v, block_t), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v, block_t), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, block_t), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, tp), jnp.float32),
+        interpret=interpret,
+    )(ang_stack, y, w)
+
+    out = out[:, :t]
+    return VarProResult(
+        p=jnp.stack([out[0], out[1], out[2]], axis=-1),
+        chi2=out[3],
+        iters=out[4].astype(jnp.int32),
+        stop=out[5].astype(jnp.int32),
+        g_abs=out[6],
+    )

@@ -221,3 +221,30 @@ def test_varpro_active_upper_bounds_match_lm():
     # matches in aggregate
     assert (c_v <= c_l * 1.3 + 1e-9).mean() > 0.95
     assert np.median(c_v) <= np.median(c_l) * 1.1 + 1e-12
+
+
+@pytest.mark.parametrize("model", ["blinn_phong", "cook_torrance"])
+def test_varpro_pallas_matches_xla_tier(model):
+    """The fused Pallas VarPro kernel (ops/varpro_pallas.py, interpret
+    mode) reproduces the XLA tier lane-for-lane: same recovery, χ² floor,
+    and parameters on the overwhelming majority of lanes (residual diffs
+    come from the XLA tier's refined init, which the kernel skips)."""
+    from brdf_tpu.ops.varpro_pallas import varpro_fit_pallas
+
+    ang, target, true_p = _problem(model, t=512, seed=23)
+    rx = varpro_fit(model, ang, target, iters=6)
+    rp = varpro_fit_pallas(model, ang, target, iters=6, block_t=128,
+                           interpret=True)
+    assert abs(_recovery(rp.p, true_p) - _recovery(rx.p, true_p)) < 0.02
+    assert float(np.median(np.asarray(rp.chi2))) < 1e-10
+    close = np.isclose(np.asarray(rp.p), np.asarray(rx.p),
+                       rtol=1e-3, atol=1e-3).all(-1)
+    assert close.mean() > 0.9
+    # weights flow through: zero-weight poisoned views change nothing
+    w = jnp.ones_like(target).at[:, 12:].set(0.0)
+    bad = target.at[:, 12:].set(9.0)
+    r1 = varpro_fit_pallas(model, ang, target, weights=w, iters=4,
+                           block_t=128, interpret=True)
+    r2 = varpro_fit_pallas(model, ang, bad, weights=w, iters=4,
+                           block_t=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r1.p), np.asarray(r2.p))
