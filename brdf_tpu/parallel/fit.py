@@ -63,21 +63,33 @@ def _make_fit_block(
 
     def fit_block_inner(p0_blk, angles_blk, target_blk, weights_blk, warm_blk):
         if engine == "varpro":
-            # Variable-projection engine (solver/varpro.py): separable m=3
-            # lobes only. Fixed per-lane iteration count (no slowest-lane
-            # tail); view-sharded meshes psum its Gram/χ²/derivative
-            # reductions exactly like the LM engines. Warm (μ, ν) state has
-            # no meaning here — IRLS rounds restart from the previous
-            # round's parameters (p0), which is the entire continuation
-            # state VarPro has.
-            from brdf_tpu.solver.varpro import varpro_fit
+            # Variable-projection engine: separable m=3 lobes only. Fixed
+            # per-lane iteration count (no slowest-lane tail). Warm (μ, ν)
+            # state has no meaning here — VarPro's entire continuation
+            # state is the parameter start. On an unsharded-view TPU mesh
+            # the FUSED kernel runs (ops/varpro_pallas.py, whole solve
+            # VMEM-resident incl. its own grid init — measured 1.7× the
+            # XLA tier; its in-kernel re-init under each IRLS round's new
+            # weights is interpret-parity-tested against the XLA tier);
+            # view-sharded or non-TPU meshes take the XLA tier, which
+            # psums its Gram/χ²/derivative reductions like the LM engines.
+            k = min(opts.itmax, 16)
+            if mesh_platform == "tpu" and mesh.shape[VIEW_AXIS] == 1:
+                from brdf_tpu.ops.varpro_pallas import varpro_fit_pallas
 
-            r = varpro_fit(
-                model, angles_blk, target_blk, weights=weights_blk,
-                p0=p0_blk, iters=min(opts.itmax, 16),
-                lower=lower, upper=upper,
-                axis_name=VIEW_AXIS if mesh.shape[VIEW_AXIS] > 1 else None,
-            )
+                r = varpro_fit_pallas(
+                    model, angles_blk, target_blk, weights=weights_blk,
+                    iters=k, lower=lower, upper=upper,
+                )
+            else:
+                from brdf_tpu.solver.varpro import varpro_fit
+
+                r = varpro_fit(
+                    model, angles_blk, target_blk, weights=weights_blk,
+                    p0=p0_blk, iters=k,
+                    lower=lower, upper=upper,
+                    axis_name=VIEW_AXIS if mesh.shape[VIEW_AXIS] > 1 else None,
+                )
             z = jnp.zeros_like(r.chi2)
             return LMResult(
                 p=r.p, chi2=r.chi2, chi2_init=z, g_inf=r.g_abs,
