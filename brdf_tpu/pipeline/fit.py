@@ -716,6 +716,29 @@ def _joint_program(base_model: str, opts: LMOptions, max_tilt: float,
         else:
             chan_ = chan
         p0 = joint_p0_from_channelwise(chan_)               # (T, 9)
+        if engine == "varpro":
+            # 3-D profiled variable projection (solver/varpro_joint.py):
+            # the six RGB kd/ks params eliminate in closed form per
+            # iteration; fixed iteration count. Measured tradeoff vs the
+            # LM tiers (docs/ROUND4.md): far cheaper per lane and a
+            # deeper median χ² per iteration, but the LM tiers win the
+            # identifiability-limited normal tail — this engine is the
+            # fast/experimental tier, not the default.
+            from brdf_tpu.solver.varpro_joint import varpro_fit_joint
+
+            r, _ = varpro_fit_joint(
+                base_model, geometry, intensity, weights=weights,
+                channel_params=chan_, iters=min(opts.itmax, 12),
+                max_tilt=max_tilt,
+            )
+            z = jnp.zeros_like(r.chi2)
+            return LMResult(
+                p=r.p, chi2=r.chi2, chi2_init=z, g_inf=r.g_inf,
+                iters=r.iters, stop=r.stop,
+                nfev=r.iters + 1, njev=r.iters,
+                mu=z, nu=z, nlss=r.iters,
+                constraint_violation=z,
+            )
         if engine == "pallas":
             from brdf_tpu.ops.lm_pallas import lm_fit_joint_pallas_chunked
 

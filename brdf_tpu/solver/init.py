@@ -137,6 +137,8 @@ def linear_grid_init(
 
     if weights is None:
         weights = jnp.ones_like(target)
+    weights = weights.astype(dtype)   # caller-supplied f64 weights must not
+                                      # promote the f32 scan carry under x64
 
     ty = target * weights
     grid = jnp.asarray(shape_grid, dtype)         # (G, k)

@@ -138,6 +138,7 @@ def varpro_fit(
     hi = np.asarray(spec.upper if upper is None else upper, np.float64)
     if weights is None:
         weights = jnp.ones_like(target)
+    weights = weights.astype(dtype)
 
     use_log = _SEPARABLE[model] == "log"
     # Exponent floor: as σ → 0 the specular basis degenerates to a constant
