@@ -25,6 +25,14 @@ from brdf_tpu.solver.constrained import (  # noqa: F401
     levmar_leic,
     levmar_lic,
 )
+from brdf_tpu.solver.varpro import (  # noqa: F401
+    VarProResult,
+    varpro_fit,
+)
+from brdf_tpu.solver.varpro_joint import (  # noqa: F401
+    JointVarProResult,
+    varpro_fit_joint,
+)
 from brdf_tpu.solver.stats import (  # noqa: F401
     corcoef,
     covariance,
