@@ -109,11 +109,15 @@ def main():
     # engine (measured ladder, quiet host, runs/evidence_r4{f,h}_summary.json):
     # - "varpro_pallas" (default): the FUSED VarPro kernel
     #   (ops/varpro_pallas.py) — whole profiled solve (grid init + k Newton
-    #   steps) VMEM-resident, angle stack read from HBM once. k=4/6/8 →
-    #   137/115/104M fits/s at recovery 0.978/0.985/0.986; shipped k=6 =
-    #   114.5M @ 0.9845 (vs_baseline 2686×). Its χ² floor is ~1e-10, set by
-    #   the TPU VPU's transcendental approximation in the in-kernel pow —
-    #   parameters are unaffected (recovery matches the XLA tier exactly).
+    #   steps) VMEM-resident, angle stack read from HBM once. k ladder
+    #   (grid 16): 4/6/8 → 137/115/104M at 0.978/0.985/0.986; grid ladder
+    #   (k=6): 16/12/8 → 115.7/137.2/151.6M at equal recovery (the kernel
+    #   is transcendental-bound, so the init grid is most of its cost and
+    #   Newton recovers from the coarser basin). Shipped: grid 8, k=6 =
+    #   151.6M @ 0.9846 (runs/evidence_r4j_summary.json). Its χ² floor is
+    #   ~1e-10, set by the TPU VPU's transcendental approximation in the
+    #   in-kernel pow — parameters are unaffected (recovery matches the
+    #   XLA tier exactly).
     # - "varpro": the XLA tier (solver/varpro.py) — identical math, HBM
     #   pass per evaluation: 66.5M @ 0.9847, χ²_med 2.4e-14.
     # - "lm": the fused Pallas LM kernel — the general-lobe engine; its own
@@ -147,6 +151,7 @@ def main():
                 res = varpro_fit_pallas(
                     MODEL, ang, target, iters=varpro_iters,
                     lower=tuple(spec.lower), upper=tuple(spec.upper),
+                    grid_points=int(os.environ.get("BENCH_VARPRO_GRID", "8")),
                     interpret=False,
                 )
             else:

@@ -180,7 +180,7 @@ def _varpro_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("model", "iters", "lower", "upper", "block_t",
-                     "interpret"),
+                     "grid_points", "interpret"),
 )
 def varpro_fit_pallas(
     model: str,
@@ -191,13 +191,19 @@ def varpro_fit_pallas(
     lower: tuple | None = None,
     upper: tuple | None = None,
     block_t: int = 2048,
+    grid_points: int = 8,
     interpret: bool = False,
 ) -> VarProResult:
     """Fused VarPro solve, one VMEM-resident texel block at a time.
 
     Same public contract as :func:`brdf_tpu.solver.varpro.varpro_fit`
     (minus ``p0``: the grid init runs in-kernel, which is the point —
-    the angle stack is loaded from HBM exactly once)."""
+    the angle stack is loaded from HBM exactly once). ``grid_points``
+    defaults to 8: the kernel is transcendental-compute-bound, so the init
+    is most of its cost, and the Newton steps fully recover from the
+    coarser basin — measured grid 16/12/8 at k=6 →
+    115.7/137.2/151.6 M fits/s at recovery 0.9845/0.9843/0.9846
+    (runs/evidence_r4j_summary.json)."""
     from brdf_tpu.models.brdf import MODELS
 
     if model not in _SEPARABLE or model not in SHADING_KERNELS:
@@ -213,7 +219,7 @@ def varpro_fit_pallas(
     s_lo = float(np.log(sig_floor)) if use_log else float(sig_floor)
     s_hi = float(np.log(hi[2])) if use_log else float(hi[2])
     grid = tuple(
-        float(x) for x in np.ravel(default_shape_grid(model))
+        float(x) for x in np.ravel(default_shape_grid(model, num=grid_points))
         if sig_floor <= float(x) <= hi[2]
     ) or (sig_floor,)
 
