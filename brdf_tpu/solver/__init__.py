@@ -28,6 +28,7 @@ from brdf_tpu.solver.constrained import (  # noqa: F401
 from brdf_tpu.solver.varpro import (  # noqa: F401
     VarProResult,
     varpro_fit,
+    varpro_fit_fresnel,
 )
 from brdf_tpu.solver.varpro_joint import (  # noqa: F401
     JointVarProResult,

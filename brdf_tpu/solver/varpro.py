@@ -40,6 +40,8 @@ import numpy as np
 from brdf_tpu.models.brdf import MODELS, ShadingAngles
 from brdf_tpu.solver.init import linear_grid_init
 
+_TINY = 1e-30
+
 
 def _bvls2(aa, ab, bb, ay, by, l0, u0, l1, u1):
     """Exact 2-variable BOX-constrained least squares from Gram entries:
@@ -259,4 +261,146 @@ def varpro_fit(
     return VarProResult(
         p=p, chi2=jnp.maximum(chi2_f, 0.0), iters=n_acc, stop=stop,
         g_abs=jnp.abs(g_f),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "lower", "upper")
+)
+def varpro_fit_fresnel(
+    angles: ShadingAngles,
+    target: jnp.ndarray,          # (T, V)
+    weights: jnp.ndarray | None = None,
+    p0: jnp.ndarray | None = None,   # (T, 4) optional start (else grid init)
+    iters: int = 10,
+    lower: tuple | None = None,
+    upper: tuple | None = None,
+) -> VarProResult:
+    """Variable projection for the m=4 ``cook_torrance_fresnel`` lobe.
+
+    The Fresnel lobe is separable with a TWO-dimensional shape space:
+    ``I = kd·a + ks·b(rough, f0)`` — so the profiled solve is the same
+    construction as :func:`varpro_fit` with 2-D Newton over (rough, f0):
+    per iteration, one basis evaluation + two JVPs, a shared-Gram BVLS for
+    the linear pair, Kaufman-projected 2×2 Gauss-Newton, and a
+    trust-clipped accept-if-better step. Completes the VarPro family over
+    every separable registry lobe (1-D: blinn_phong/phong/cook_torrance/
+    ward; 2-D: this; the m=9 joint tier is ``varpro_fit_joint``).
+    """
+    spec = MODELS["cook_torrance_fresnel"]
+    dtype = target.dtype
+    lo = np.asarray(spec.lower if lower is None else lower, np.float64)
+    hi = np.asarray(spec.upper if upper is None else upper, np.float64)
+    if weights is None:
+        weights = jnp.ones_like(target)
+    w = weights.astype(dtype)
+    yw = target * w
+
+    lo_s_np = np.asarray([max(lo[2], 1e-3), lo[3]], np.float64)
+    hi_s_np = np.asarray([hi[2], hi[3]], np.float64)
+    span = float(np.linalg.norm(hi_s_np - lo_s_np))
+    lo_s = jnp.asarray(lo_s_np, dtype)
+    hi_s = jnp.asarray(hi_s_np, dtype)
+
+    if p0 is None:
+        p0 = linear_grid_init("cook_torrance_fresnel", angles, target,
+                              weights=weights)
+    shape0 = jnp.clip(p0[..., 2:4], lo_s, hi_s)          # (T, 2)
+
+    # diffuse basis: kd·cos_ln — shape-independent
+    aw = spec.fn(
+        jnp.asarray([1.0, 0.0, 0.5, 0.5], dtype), angles
+    ) * w
+    aa = jnp.sum(aw * aw, -1)
+    ay = jnp.sum(aw * yw, -1)
+
+    def basis_b(shape):
+        p = jnp.concatenate(
+            [jnp.zeros_like(shape[..., :1]), jnp.ones_like(shape[..., :1]),
+             shape], axis=-1
+        )
+        return spec.fn(p, angles)
+
+    def eval_at(shape):
+        b = basis_b(shape)
+        tangents = []
+        for j in range(2):
+            e = jnp.zeros_like(shape).at[..., j].set(1.0)
+            _, db_j = jax.jvp(basis_b, (shape,), (e,))
+            tangents.append(db_j)
+        bw = b * w
+        ab = jnp.sum(aw * bw, -1)
+        bb = jnp.sum(bw * bw, -1)
+        by = jnp.sum(bw * yw, -1)
+        kd, ks = _bvls2(aa, ab, bb, ay, by,
+                        float(lo[0]), float(hi[0]), float(lo[1]), float(hi[1]))
+        rw = yw - kd[..., None] * aw - ks[..., None] * bw
+        chi2 = jnp.sum(rw * rw, -1)
+        det = aa * bb - ab * ab
+        det_ok = det > 1e-30
+        det_s = jnp.where(det_ok, det, 1.0)
+
+        def project(u):
+            ua = jnp.sum(u * aw, -1)
+            ub = jnp.sum(u * bw, -1)
+            x1 = jnp.where(det_ok, (bb * ua - ab * ub) / det_s, 0.0)
+            x2 = jnp.where(det_ok, (aa * ub - ab * ua) / det_s, 0.0)
+            return u - x1[..., None] * aw - x2[..., None] * bw
+
+        g, cols = [], []
+        for j in range(2):
+            u = ks[..., None] * tangents[j] * w
+            g.append(-2.0 * jnp.sum(rw * u, -1))
+            cols.append(project(u))
+        h00 = 2.0 * jnp.sum(cols[0] * cols[0], -1)
+        h01 = 2.0 * jnp.sum(cols[0] * cols[1], -1)
+        h11 = 2.0 * jnp.sum(cols[1] * cols[1], -1)
+        return chi2, g, (h00, h01, h11), kd, ks
+
+    chi2_0, g0, h0, kd0, ks0 = eval_at(shape0)
+
+    def body(carry, _):
+        shape, chi2_b, g_b, h_b, kd_b, ks_b, trust, n_acc = carry
+        h00, h01, h11 = h_b
+        lam = 1e-6 * (h00 + h11) + _TINY
+        d = (h00 + lam) * (h11 + lam) - h01 * h01
+        ok2 = jnp.abs(d) > _TINY
+        d_s = jnp.where(ok2, d, 1.0)
+        s0 = -((h11 + lam) * g_b[0] - h01 * g_b[1]) / d_s
+        s1 = -((h00 + lam) * g_b[1] - h01 * g_b[0]) / d_s
+        step = jnp.stack([s0, s1], -1)
+        nrm = jnp.linalg.norm(step, axis=-1, keepdims=True)
+        step = jnp.where(
+            ok2[..., None],
+            step * jnp.minimum(1.0, trust[..., None] / jnp.maximum(nrm, _TINY)),
+            0.0,
+        )
+        shape_n = jnp.clip(shape + step, lo_s, hi_s)
+        chi2_n, g_n, h_n, kd_n, ks_n = eval_at(shape_n)
+        okn = (chi2_n < chi2_b) & jnp.isfinite(chi2_n)
+        sel = lambda n, b: jnp.where(okn, n, b)
+        sel2 = lambda n, b: jnp.where(okn[..., None], n, b)
+        return (
+            sel2(shape_n, shape), sel(chi2_n, chi2_b),
+            [sel(g_n[j], g_b[j]) for j in range(2)],
+            tuple(sel(h_n[j], h_b[j]) for j in range(3)),
+            sel(kd_n, kd_b), sel(ks_n, ks_b),
+            jnp.where(okn, jnp.minimum(trust * 2.0, span), trust * 0.25),
+            n_acc + okn.astype(jnp.int32),
+        ), None
+
+    trust0 = jnp.full(shape0.shape[:-1], 0.25 * span, dtype)
+    carry0 = (shape0, chi2_0, g0, h0, kd0, ks0, trust0,
+              jnp.zeros(shape0.shape[:-1], jnp.int32))
+    (shape_f, chi2_f, g_f, _, kd_f, ks_f, trust_f, n_acc), _ = jax.lax.scan(
+        body, carry0, None, length=iters
+    )
+
+    p = jnp.concatenate([kd_f[..., None], ks_f[..., None], shape_f], -1)
+    converged = trust_f < 1e-6 * span
+    g_inf = jnp.maximum(jnp.abs(g_f[0]), jnp.abs(g_f[1]))
+    return VarProResult(
+        p=p.astype(dtype), chi2=jnp.maximum(chi2_f, 0.0), iters=n_acc,
+        stop=jnp.where(converged, jnp.int32(2), jnp.int32(3)),
+        g_abs=g_inf,
     )
