@@ -74,7 +74,22 @@ def _make_fit_block(
             # view-sharded or non-TPU meshes take the XLA tier, which
             # psums its Gram/χ²/derivative reductions like the LM engines.
             k = min(opts.itmax, 16)
-            if mesh_platform == "tpu" and mesh.shape[VIEW_AXIS] == 1:
+            if model == "cook_torrance_fresnel":
+                # 2-D shape space (roughness, f0): the XLA 2-D profiled
+                # Newton tier (solver/varpro.py::varpro_fit_fresnel)
+                from brdf_tpu.solver.varpro import varpro_fit_fresnel
+
+                if mesh.shape[VIEW_AXIS] > 1:
+                    raise ValueError(
+                        "engine='varpro' for cook_torrance_fresnel does not "
+                        "support a sharded view axis yet — use engine='xla' "
+                        "or 'pallas'"
+                    )
+                r = varpro_fit_fresnel(
+                    angles_blk, target_blk, weights=weights_blk,
+                    p0=p0_blk, iters=k, lower=lower, upper=upper,
+                )
+            elif mesh_platform == "tpu" and mesh.shape[VIEW_AXIS] == 1:
                 from brdf_tpu.ops.varpro_pallas import varpro_fit_pallas
 
                 r = varpro_fit_pallas(

@@ -299,3 +299,32 @@ def test_varpro_fresnel_roundtrip():
     r1 = varpro_fit_fresnel(ang, target, weights=w, iters=6)
     r2 = varpro_fit_fresnel(ang, bad, weights=w, iters=6)
     np.testing.assert_array_equal(np.asarray(r1.p), np.asarray(r2.p))
+
+
+def test_varpro_engine_fresnel_pipeline():
+    """fit_texels_sharded(engine='varpro') dispatches the m=4 Fresnel lobe
+    to the 2-D profiled tier."""
+    from brdf_tpu.parallel.fit import fit_texels_sharded
+    from brdf_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    t, v = 256, 16
+    ang = ShadingAngles(
+        cos_ln=jnp.asarray(rng.uniform(0, 1, (t, v)), jnp.float32),
+        cos_nh=jnp.asarray(rng.uniform(0, 1, (t, v)), jnp.float32),
+        cos_rv=jnp.asarray(rng.uniform(-1, 1, (t, v)), jnp.float32),
+        cos_vn=jnp.asarray(rng.uniform(0.1, 1, (t, v)), jnp.float32),
+    )
+    true_p = np.stack(
+        [rng.uniform(0.1, 0.9, t), rng.uniform(0.2, 1.0, t),
+         rng.uniform(0.15, 0.9, t), rng.uniform(0.2, 0.9, t)], -1
+    ).astype(np.float32)
+    target = MODELS["cook_torrance_fresnel"].fn(jnp.asarray(true_p), ang)
+    mesh = make_mesh(data=1, view=1, devices=jax.devices()[:1])
+    res = fit_texels_sharded(
+        "cook_torrance_fresnel", ang, target, mesh,
+        opts=LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=10),
+        engine="varpro",
+    )
+    assert res.p.shape == (t, 4)
+    assert float(np.median(np.asarray(res.chi2))) < 1e-9
