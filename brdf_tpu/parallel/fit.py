@@ -79,15 +79,10 @@ def _make_fit_block(
                 # Newton tier (solver/varpro.py::varpro_fit_fresnel)
                 from brdf_tpu.solver.varpro import varpro_fit_fresnel
 
-                if mesh.shape[VIEW_AXIS] > 1:
-                    raise ValueError(
-                        "engine='varpro' for cook_torrance_fresnel does not "
-                        "support a sharded view axis yet — use engine='xla' "
-                        "or 'pallas'"
-                    )
                 r = varpro_fit_fresnel(
                     angles_blk, target_blk, weights=weights_blk,
                     p0=p0_blk, iters=k, lower=lower, upper=upper,
+                    axis_name=VIEW_AXIS if mesh.shape[VIEW_AXIS] > 1 else None,
                 )
             elif mesh_platform == "tpu" and mesh.shape[VIEW_AXIS] == 1:
                 from brdf_tpu.ops.varpro_pallas import varpro_fit_pallas

@@ -265,7 +265,7 @@ def varpro_fit(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "lower", "upper")
+    jax.jit, static_argnames=("iters", "lower", "upper", "axis_name")
 )
 def varpro_fit_fresnel(
     angles: ShadingAngles,
@@ -275,6 +275,7 @@ def varpro_fit_fresnel(
     iters: int = 10,
     lower: tuple | None = None,
     upper: tuple | None = None,
+    axis_name: str | None = None,
 ) -> VarProResult:
     """Variable projection for the m=4 ``cook_torrance_fresnel`` lobe.
 
@@ -302,7 +303,14 @@ def varpro_fit_fresnel(
     lo_s = jnp.asarray(lo_s_np, dtype)
     hi_s = jnp.asarray(hi_s_np, dtype)
 
+    def rsum(x):
+        """View reduction; a psum over ``axis_name`` when views are sharded."""
+        s = jnp.sum(x, axis=-1)
+        return jax.lax.psum(s, axis_name) if axis_name else s
+
     if p0 is None:
+        # local-view init — under a view-sharded mesh supply p0 (the fit
+        # pipeline computes it at the jit level)
         p0 = linear_grid_init("cook_torrance_fresnel", angles, target,
                               weights=weights)
     shape0 = jnp.clip(p0[..., 2:4], lo_s, hi_s)          # (T, 2)
@@ -311,8 +319,8 @@ def varpro_fit_fresnel(
     aw = spec.fn(
         jnp.asarray([1.0, 0.0, 0.5, 0.5], dtype), angles
     ) * w
-    aa = jnp.sum(aw * aw, -1)
-    ay = jnp.sum(aw * yw, -1)
+    aa = rsum(aw * aw)
+    ay = rsum(aw * yw)
 
     def basis_b(shape):
         p = jnp.concatenate(
@@ -329,20 +337,20 @@ def varpro_fit_fresnel(
             _, db_j = jax.jvp(basis_b, (shape,), (e,))
             tangents.append(db_j)
         bw = b * w
-        ab = jnp.sum(aw * bw, -1)
-        bb = jnp.sum(bw * bw, -1)
-        by = jnp.sum(bw * yw, -1)
+        ab = rsum(aw * bw)
+        bb = rsum(bw * bw)
+        by = rsum(bw * yw)
         kd, ks = _bvls2(aa, ab, bb, ay, by,
                         float(lo[0]), float(hi[0]), float(lo[1]), float(hi[1]))
         rw = yw - kd[..., None] * aw - ks[..., None] * bw
-        chi2 = jnp.sum(rw * rw, -1)
+        chi2 = rsum(rw * rw)
         det = aa * bb - ab * ab
         det_ok = det > 1e-30
         det_s = jnp.where(det_ok, det, 1.0)
 
         def project(u):
-            ua = jnp.sum(u * aw, -1)
-            ub = jnp.sum(u * bw, -1)
+            ua = rsum(u * aw)
+            ub = rsum(u * bw)
             x1 = jnp.where(det_ok, (bb * ua - ab * ub) / det_s, 0.0)
             x2 = jnp.where(det_ok, (aa * ub - ab * ua) / det_s, 0.0)
             return u - x1[..., None] * aw - x2[..., None] * bw
@@ -350,11 +358,11 @@ def varpro_fit_fresnel(
         g, cols = [], []
         for j in range(2):
             u = ks[..., None] * tangents[j] * w
-            g.append(-2.0 * jnp.sum(rw * u, -1))
+            g.append(-2.0 * rsum(rw * u))
             cols.append(project(u))
-        h00 = 2.0 * jnp.sum(cols[0] * cols[0], -1)
-        h01 = 2.0 * jnp.sum(cols[0] * cols[1], -1)
-        h11 = 2.0 * jnp.sum(cols[1] * cols[1], -1)
+        h00 = 2.0 * rsum(cols[0] * cols[0])
+        h01 = 2.0 * rsum(cols[0] * cols[1])
+        h11 = 2.0 * rsum(cols[1] * cols[1])
         return chi2, g, (h00, h01, h11), kd, ks
 
     chi2_0, g0, h0, kd0, ks0 = eval_at(shape0)

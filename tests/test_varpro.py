@@ -328,3 +328,45 @@ def test_varpro_engine_fresnel_pipeline():
     )
     assert res.p.shape == (t, 4)
     assert float(np.median(np.asarray(res.chi2))) < 1e-9
+
+
+def test_varpro_fresnel_view_sharded():
+    """The m=4 Fresnel varpro tier under a view-sharded mesh: psum'd
+    reductions reproduce the single-device solve's aggregate quality."""
+    from brdf_tpu.parallel.fit import fit_texels_sharded
+    from brdf_tpu.parallel.mesh import make_mesh
+
+    n = min(8, jax.device_count())
+    if n < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    rng = np.random.default_rng(0)
+    t, v = 128, 16
+    ang = ShadingAngles(
+        cos_ln=jnp.asarray(rng.uniform(0, 1, (t, v)), jnp.float32),
+        cos_nh=jnp.asarray(rng.uniform(0, 1, (t, v)), jnp.float32),
+        cos_rv=jnp.asarray(rng.uniform(-1, 1, (t, v)), jnp.float32),
+        cos_vn=jnp.asarray(rng.uniform(0.1, 1, (t, v)), jnp.float32),
+    )
+    true_p = np.stack(
+        [rng.uniform(0.1, 0.9, t), rng.uniform(0.2, 1.0, t),
+         rng.uniform(0.15, 0.9, t), rng.uniform(0.2, 0.9, t)], -1
+    ).astype(np.float32)
+    target = MODELS["cook_torrance_fresnel"].fn(jnp.asarray(true_p), ang)
+    kw = dict(opts=LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=8),
+              engine="varpro")
+    mesh_v = make_mesh(data=1, view=n)
+    mesh_1 = make_mesh(data=1, view=1, devices=jax.devices()[:1])
+    res_v = fit_texels_sharded("cook_torrance_fresnel", ang, target, mesh_v, **kw)
+    res_1 = fit_texels_sharded("cook_torrance_fresnel", ang, target, mesh_1, **kw)
+    # the ks·F(f0) coupling is weakly identifiable: different f32 reduction
+    # orders legitimately land on different (ks, f0) splits of the SAME fit
+    # quality, so the invariant is the χ² distribution, not the parameters
+    c_v = np.asarray(res_v.chi2)
+    c_1 = np.asarray(res_1.chi2)
+    assert float(np.median(c_v)) < 1e-9
+    assert float(np.median(c_v)) < max(float(np.median(c_1)) * 5, 1e-9)
+    assert (c_v < np.maximum(c_1 * 10, 1e-8)).mean() > 0.9
+    # and a majority of lanes still agree parameter-wise
+    rel = (np.abs(np.asarray(res_v.p) - np.asarray(res_1.p))
+           / np.maximum(np.abs(np.asarray(res_1.p)), 1e-3)).max(-1)
+    assert (rel < 1e-2).mean() > 0.5
