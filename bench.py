@@ -152,6 +152,7 @@ def main():
                     MODEL, ang, target, iters=varpro_iters,
                     lower=tuple(spec.lower), upper=tuple(spec.upper),
                     grid_points=int(os.environ.get("BENCH_VARPRO_GRID", "8")),
+                    block_t=int(os.environ.get("BENCH_VARPRO_BLOCK", "512")),
                     interpret=False,
                 )
             else:

@@ -190,7 +190,7 @@ def varpro_fit_pallas(
     iters: int = 6,
     lower: tuple | None = None,
     upper: tuple | None = None,
-    block_t: int = 2048,
+    block_t: int = 512,
     grid_points: int = 8,
     interpret: bool = False,
 ) -> VarProResult:
@@ -203,7 +203,12 @@ def varpro_fit_pallas(
     is most of its cost, and the Newton steps fully recover from the
     coarser basin — measured grid 16/12/8 at k=6 →
     115.7/137.2/151.6 M fits/s at recovery 0.9845/0.9843/0.9846
-    (runs/evidence_r4j_summary.json)."""
+    (runs/evidence_r4j_summary.json). ``block_t`` defaults to 512 — the
+    measured knee of the block ladder
+    (128/256/512/1024/2048/4096 → 122/163/175/173/154/126 M fits/s,
+    identical recovery; 8192 exceeds the 16 MB scoped-VMEM limit —
+    runs/evidence_r4{m,n}_summary.json): small enough for grid-step
+    pipelining, large enough to amortize per-block overhead."""
     from brdf_tpu.models.brdf import MODELS
 
     if model not in _SEPARABLE or model not in SHADING_KERNELS:
