@@ -260,6 +260,7 @@ def main():
         "fit_timing_spread": round(fit_spread, 3),
         "fit_timing_spread_full": round(fit_spread_full, 3),
         **quality,
+        **_lm_general_row(),
         **_shading_mrays(),
         **_joint_mrays(),
     }
@@ -269,6 +270,103 @@ def main():
     print(json.dumps(out))
     if failed:
         raise SystemExit(1)
+
+
+def _lm_general_row(t5: int = 65536, v5: int = 16):
+    """Gated row for the fused-LM GENERAL-lobe engine (VERDICT r4 #2/#3):
+    the bench headline runs VarPro, but the non-separable production models
+    (m=5 aniso on timber, the m=9 joint solve's channel starts) have the
+    fused Pallas LM kernel as their ONLY fused path — its frontier lived
+    only in builder session logs, so a regression there failed no gate.
+
+    Workload: m=5 ``cook_torrance_aniso`` on a physically consistent
+    synthetic scene (real geometry, isotropically distributed lights, the
+    tangent-frame channels the lobe needs), grid init + flat itmax=24
+    through ``lm_fit_pallas`` — the r4-measured LM frontier schedule.
+
+    Gates (recorded reason: at 16 views the m=5 lobe is genuinely
+    ambiguous — χ² reaches the floor while the specular triple wanders;
+    measured CPU-LM-60 full-vector recovery is only ~0.21 at 16 views vs
+    0.41 at 32, with kd at 0.93-0.96 — so the gate guards the IDENTIFIABLE
+    parameter (kd) plus the χ² distribution, exactly the levmar-style
+    honest-counters treatment VERDICT r4 #6 prescribes for
+    ambiguity-limited lobes): kd recovery ≥ 0.85, χ² p99 ≤ 1e-2.
+    BENCH_LM_ROW=0 skips."""
+    if os.environ.get("BENCH_LM_ROW", "1") == "0":
+        return {}
+    from brdf_tpu.models.brdf import angles_from_geometry_np, shading_geometry_np
+    from brdf_tpu.ops.lm_pallas import lm_fit_pallas
+
+    model = "cook_torrance_aniso"
+    spec = MODELS[model]
+    rng = np.random.default_rng(5)
+    # host-NumPy problem build (tunneled-runtime discipline)
+    pts = rng.normal(size=(t5, 3)).astype(np.float32) * 0.1
+    nrm = rng.normal(size=(t5, 3))
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    d = rng.normal(size=(v5, 3))
+    lights = d / np.linalg.norm(d, axis=-1, keepdims=True) * 8.0
+    geom = shading_geometry_np(pts, nrm, np.array([0.0, 0.0, 10.0]), lights)
+    ang_np = angles_from_geometry_np(geom, tangent_frame=True)
+    ang = jax.tree.map(
+        lambda a: None if a is None else jnp.asarray(a), ang_np,
+        is_leaf=lambda a: a is None,
+    )
+    true_p = np.stack(
+        [rng.uniform(0.1, 0.9, t5), rng.uniform(0.3, 1.0, t5),
+         rng.uniform(0.15, 0.9, t5), rng.uniform(0.15, 0.9, t5),
+         rng.uniform(-1.2, 1.2, t5)], -1,
+    ).astype(np.float32)
+    target = MODELS[model].fn(jnp.asarray(true_p), ang)
+    itmax = int(os.environ.get("BENCH_LM_ITMAX", "24"))
+    opts = LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=itmax, tau=1e-10)
+
+    @jax.jit
+    def fit(ang, target):
+        p0 = linear_grid_init(model, ang, target)
+        res = lm_fit_pallas(
+            model, ang, target, p0, opts=opts,
+            lower=tuple(spec.lower), upper=tuple(spec.upper),
+        )
+        digest = jnp.sum(res.p[:1]) + jnp.sum(res.chi2[:1])
+        return res.p, res.chi2, digest
+
+    p_fit, chi2, dg = fit(ang, target)
+    _ = np.asarray(dg)    # compile + first-exec
+
+    def timed(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            *_unused, dg = fit(ang, target)
+        _ = np.asarray(dg)
+        return time.perf_counter() - t0
+
+    # cheaper stabilization than the headline row (one extra program must
+    # stay cheap): discarded warm-up, 16-exec chains ×7, median, IQR spread
+    for _ in range(2):
+        timed(4)
+    t1 = sorted(timed(1) for _ in range(5))[2]
+    reps = sorted(timed(16) for _ in range(7))
+    per = (reps[3] - t1) / 15
+    chi2_np = np.asarray(chi2)
+    rel_kd = np.abs(np.asarray(p_fit)[:, 0] - true_p[:, 0]) / np.maximum(
+        np.abs(true_p[:, 0]), 1e-3
+    )
+    return {
+        "fit_lm_pallas_model": model,
+        "fit_lm_pallas_batch": [t5, v5],
+        "fit_lm_pallas_itmax": itmax,
+        "fit_lm_pallas_fits_per_sec": round(t5 / per, 1),
+        "fit_lm_pallas_spread": round((reps[4] - reps[2]) / reps[3], 3),
+        "fit_lm_pallas_chi2_median": float(np.median(chi2_np)),
+        "fit_lm_pallas_chi2_p99": float(np.percentile(chi2_np, 99)),
+        "fit_lm_pallas_recovery_kd": float((rel_kd < 1e-2).mean()),
+        "fit_lm_pallas_gate_note": (
+            "kd + chi2 gated; full 5-param recovery is 16-view ambiguity-"
+            "limited (chi2 at floor with wandering specular triple; LM-60 "
+            "measures ~0.21 at V=16 vs 0.41 at V=32 on CPU)"
+        ),
+    }
 
 
 def _shading_mrays():
@@ -511,6 +609,15 @@ def _check_gates(out: dict) -> list[str]:
         failed.append(f"recovery_frac {out['recovery_frac']:.3f} < 0.97")
     if out["chi2_p99"] > 1e-6:
         failed.append(f"chi2_p99 {out['chi2_p99']:.2e} > 1e-6")
+    # fused-LM general-lobe row (m=5 aniso): kd + χ² gates — the full
+    # 5-param recovery is view-count-ambiguity-limited, reason recorded in
+    # fit_lm_pallas_gate_note (VERDICT r4 #3/#6)
+    kd_rec = out.get("fit_lm_pallas_recovery_kd")
+    if kd_rec is not None and kd_rec < 0.85:
+        failed.append(f"fit_lm_pallas_recovery_kd {kd_rec:.3f} < 0.85")
+    lm_p99 = out.get("fit_lm_pallas_chi2_p99")
+    if lm_p99 is not None and lm_p99 > 1e-2:
+        failed.append(f"fit_lm_pallas_chi2_p99 {lm_p99:.2e} > 1e-2")
     ratio = out.get("shading_pallas_vs_xla")
     if ratio is not None and ratio < 1.0:
         failed.append(f"shading pallas/xla {ratio:.2f} < 1.0")

@@ -134,8 +134,13 @@ def cmd_fit(args) -> int:
             problem, cfg.model.model, opts=opts, max_tilt=cfg.model.max_tilt,
             engine=cfg.solver.engine,
             mesh=make_mesh(data=cfg.sharding.data, view=1),
+            mask_saturation=cfg.solver.mask_saturation,
+            robust=cfg.solver.robust,
+            robust_iters=cfg.solver.robust_iters,
         )
-        log("fit_done", mode="joint_normalmap", secs=round(time.time() - t0, 2))
+        log("fit_done", mode="joint_normalmap", secs=round(time.time() - t0, 2),
+            mask_saturation=cfg.solver.mask_saturation,
+            robust=cfg.solver.robust)
         fit_summary_event(res)
         arrays = {"joint_params": np.asarray(res.p), "face_ids": problem.face_ids,
                   "chi2": np.asarray(res.chi2)}
@@ -207,11 +212,19 @@ def _expand_params(arrays: dict, meta: dict, scene):
             arrays["params"][None], (t,) + arrays["params"].shape
         ).copy()
         return params, np.arange(t), None
-    jp = arrays["joint_params"]  # (T, 9) — expand to per-channel (T, 3, m)
+    # joint run: (T, 8+k) — expand to per-channel (T, 3, m_base); offsets
+    # live after the k shape columns (k=1 isotropic → cols 7:9, k=3 aniso
+    # → cols 9:11)
+    from brdf_tpu.models.brdf import MODELS
+
+    jp = arrays["joint_params"]
+    k = MODELS[meta["model"]].n_params - 2
     params = np.stack(
-        [np.stack([jp[:, c], jp[:, 3 + c], jp[:, 6]], -1) for c in range(3)], 1
+        [np.concatenate(
+            [jp[:, c : c + 1], jp[:, 3 + c : 4 + c], jp[:, 6 : 6 + k]], -1
+        ) for c in range(3)], 1
     )
-    return params, arrays["face_ids"], jp[:, 7:9].astype(np.float32)
+    return params, arrays["face_ids"], jp[:, 6 + k : 8 + k].astype(np.float32)
 
 
 def _save_png(img: np.ndarray, out: str) -> None:
@@ -249,7 +262,20 @@ def cmd_export(args) -> int:
     os.makedirs(out, exist_ok=True)
 
     t, c, m = params.shape
-    cam = scene.cameras[args.view]
+    view = args.view
+    if arrays.get("pixels") is not None and view != cfg.model.reference_view:
+        # pixel-granularity texels ARE pixels of the fit's reference view:
+        # laying them out by another view's camera would tint the wrong
+        # pixels (or index out of bounds for differing resolutions), so the
+        # export pins itself to the reference view (ADVICE r4).
+        print(
+            f"WARNING: pixel-granularity run was fit against view "
+            f"{cfg.model.reference_view}; exporting by that view instead "
+            f"of --view {view}",
+            file=sys.stderr,
+        )
+        view = cfg.model.reference_view
+    cam = scene.cameras[view]
     if arrays.get("pixels") is not None:
         # pixel-granularity fit: texels ARE pixels of the fit's reference view
         px = np.asarray(arrays["pixels"])
@@ -261,7 +287,7 @@ def cmd_export(args) -> int:
             img[px[:, 1], px[:, 0]] = vals
             return img
     else:
-        rm = scene.raster_map(args.view)
+        rm = scene.raster_map(view)
         lut = np.full(scene.mesh.num_faces, -1, np.int64)
         lut[np.asarray(face_ids)] = np.arange(t)
         fid = rm.face_id
@@ -278,12 +304,12 @@ def cmd_export(args) -> int:
         # for the reference's DrawMapping diagnostic, which dotted the mapped
         # pixels over the GL view (glutcallbacks.cpp:645-661): fitted-texel
         # coverage tinted green at full brightness, the rest dimmed.
-        photo = np.asarray(scene.images[args.view], np.float32)
+        photo = np.asarray(scene.images[view], np.float32)
         overlay = photo * 0.35
         overlay[cov_mask] = np.clip(
             photo[cov_mask] * 0.65 + np.float32([0.05, 0.35, 0.05]), 0, 1
         )
-        cov_path = os.path.join(out, f"coverage_view{args.view}.png")
+        cov_path = os.path.join(out, f"coverage_view{view}.png")
         _save_png(overlay, cov_path)
         print(cov_path)
 
@@ -293,7 +319,8 @@ def cmd_export(args) -> int:
         # RG=offset / B=z normal-map visualization + raw offsets in the npz
         # (the render path consumes them via perturbed_angles)
         jp = np.asarray(arrays["joint_params"])
-        off = jp[:, 7:9]                                  # (T, 2)
+        k_sh = spec.n_params - 2
+        off = jp[:, 6 + k_sh : 8 + k_sh]                  # (T, 2)
         z = np.sqrt(np.clip(1.0 - (off ** 2).sum(-1), 0.0, 1.0))
         rgb = np.stack([off[:, 0] * 0.5 + 0.5,
                         off[:, 1] * 0.5 + 0.5, z], -1)    # (T, 3)
@@ -387,11 +414,13 @@ def _run_quality_metrics(arrays, meta, cfg, scene, params, face_ids):
         jp = arrays["joint_params"]
         if sel is not None:
             jp = jp[sel]
+        k_sh = MODELS[cfg.model.model].n_params - 2
         problem = problem._replace(
             angles=perturbed_angles(
                 problem.geometry,
-                np.asarray(jp[:, 7], np.float32),
-                np.asarray(jp[:, 8], np.float32),
+                np.asarray(jp[:, 6 + k_sh], np.float32),
+                np.asarray(jp[:, 7 + k_sh], np.float32),
+                tangent_frame=tangent,
             )
         )
     return fit_quality_metrics(

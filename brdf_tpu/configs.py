@@ -182,4 +182,14 @@ PRESETS: dict[str, FitConfig] = {
             upper=[2.0, 2.0, 1.0, 1.0, 1.5707963],
         ),
     ),
+    # Joint normal-map + anisotropic GGX for timber (m=11: RGB kd/ks,
+    # rough_x/rough_y/phi, tangent offsets) — the joint tier extended to
+    # the lobes that win timber, engine xla (jacfwd through
+    # perturbed_angles; the Pallas joint kernel is m=9-only)
+    "timber-joint-aniso": FitConfig(
+        name="timber-joint-aniso",
+        scene=SceneConfig(scene_dir=f"{_REF}/timber"),
+        model=ModelConfig(model="cook_torrance_aniso", joint_normalmap=True),
+        solver=SolverConfig(itmax=40, engine="xla"),
+    ),
 }

@@ -64,73 +64,98 @@ class JointSpec(NamedTuple):
     n_params: int
     lower: tuple
     upper: tuple
+    n_shape: int = 1
 
 
 def joint_spec(base_model: str = "cook_torrance", max_tilt: float = 0.6) -> JointSpec:
+    """Joint parameter layout: ``[kd_rgb (3), ks_rgb (3), shape (k), nu, nv]``
+    with k = the base lobe's shape-parameter count — m = 9 for the m=3
+    isotropic lobes (shape at column 6, offsets at 7/8) and m = 11 for the
+    m=5 anisotropic lobes (rough_x/rough_y/phi at columns 6-8, offsets at
+    9/10; VERDICT r4 #2 — timber's winning lobes get the joint tier)."""
     base = MODELS[base_model]
-    if base.n_params != 3:
-        raise ValueError("joint fit supports 3-parameter base lobes")
+    if base.linear != 2:
+        raise ValueError(
+            "joint fit needs a (kd, ks, shape...) base lobe; "
+            f"{base_model!r} has linear={base.linear}"
+        )
+    k = base.n_params - 2
     lo = (
-        base.lower[0], base.lower[0], base.lower[0],
-        base.lower[1], base.lower[1], base.lower[1],
-        base.lower[2], -max_tilt, -max_tilt,
+        (base.lower[0],) * 3 + (base.lower[1],) * 3
+        + tuple(base.lower[2:]) + (-max_tilt, -max_tilt)
     )
     hi = (
-        base.upper[0], base.upper[0], base.upper[0],
-        base.upper[1], base.upper[1], base.upper[1],
-        base.upper[2], max_tilt, max_tilt,
+        (base.upper[0],) * 3 + (base.upper[1],) * 3
+        + tuple(base.upper[2:]) + (max_tilt, max_tilt)
     )
-    return JointSpec(base_model, 9, lo, hi)
+    return JointSpec(base_model, 8 + k, lo, hi, n_shape=k)
 
 
 def perturbed_angles(
-    geom: ShadingGeometry, nu: jnp.ndarray, nv: jnp.ndarray
+    geom: ShadingGeometry, nu: jnp.ndarray, nv: jnp.ndarray,
+    tangent_frame: bool = False,
 ) -> ShadingAngles:
     """Recompute the cosine terms with the tangent-space-perturbed normal.
-    ``nu``/``nv`` broadcast against ``geom.n[..., :-1]`` batch dims."""
+    ``nu``/``nv`` broadcast against ``geom.n[..., :-1]`` batch dims.
+    ``tangent_frame=True`` also fills the tangent channels the anisotropic
+    lobes need — the frame is re-derived from the PERTURBED normal, so the
+    fitted ``phi`` orients the material axes in the fitted surface frame."""
     t, b = tangent_basis(geom.n)
     n_new = geom.n + nu[..., None] * t + nv[..., None] * b
     n_new = n_new / jnp.maximum(
         jnp.linalg.norm(n_new, axis=-1, keepdims=True), 1e-12
     )
-    return angles_from_geometry(geom._replace(n=n_new))
+    return angles_from_geometry(
+        geom._replace(n=n_new), tangent_frame=tangent_frame
+    )
 
 
 def joint_eval(
     spec: JointSpec, params: jnp.ndarray, geom: ShadingGeometry
 ) -> jnp.ndarray:
-    """Evaluate the joint model: params (..., 9) → intensities (..., V, 3)."""
-    base_fn = MODELS[spec.base_model].fn
-    nu = params[..., 7]
-    nv = params[..., 8]
-    ang = perturbed_angles(geom, nu, nv)
+    """Evaluate the joint model: params (..., 8+k) → intensities (..., V, 3)."""
+    base = MODELS[spec.base_model]
+    k = spec.n_shape
+    nu = params[..., 6 + k]
+    nv = params[..., 7 + k]
+    ang = perturbed_angles(geom, nu, nv, tangent_frame=base.tangent)
     outs = []
     for c in range(3):
-        p_c = jnp.stack(
-            [params[..., c], params[..., 3 + c], params[..., 6]], axis=-1
+        p_c = jnp.concatenate(
+            [params[..., c : c + 1], params[..., 3 + c : 4 + c],
+             params[..., 6 : 6 + k]], axis=-1
         )
-        outs.append(base_fn(p_c, ang))
+        outs.append(base.fn(p_c, ang))
     return jnp.stack(outs, axis=-1)   # (..., V, 3)
 
 
 def joint_residual(spec: JointSpec):
-    """Residual closure for the LM solver: data = (geom, target (V,3), w (V,))."""
+    """Residual closure for the LM solver: data = (geom, target (V,3), w).
+
+    ``w`` is (V,) shared across channels, or (V, 3) PER-CHANNEL — channels
+    are independent measurements (the reference gathered them separately,
+    ``brdfdata.cpp:945-960``), so per-channel saturation masks and IRLS
+    weights must reach the joint fit per channel (VERDICT r4 #1: cup
+    saturates 0.22/0.27 in G/B only)."""
 
     def residual(p, data):
         geom, target, w = data
         pred = joint_eval(spec, p, geom)
-        return ((pred - target) * w[..., None]).reshape(-1)
+        wb = w if w.ndim == target.ndim else w[..., None]
+        return ((pred - target) * wb).reshape(-1)
 
     return residual
 
 
 def joint_p0_from_channelwise(
-    channel_params: jnp.ndarray,  # (..., 3, 3): per-channel (kd, ks, shape)
+    channel_params: jnp.ndarray,  # (..., 3, m_base): per-channel (kd, ks, shape…)
 ) -> jnp.ndarray:
     """Build a joint start from independent per-channel fits: kd/ks carry
-    over, the shape parameter is averaged, the normal offset starts at 0."""
+    over, the shape parameter(s) average over channels, the normal offset
+    starts at 0. Works for any base-lobe shape count (m=3 → 9 joint params,
+    m=5 aniso → 11)."""
     kd = channel_params[..., :, 0]
     ks = channel_params[..., :, 1]
-    shape = jnp.mean(channel_params[..., :, 2], axis=-1, keepdims=True)
-    zeros = jnp.zeros_like(shape)
+    shape = jnp.mean(channel_params[..., :, 2:], axis=-2)   # (..., k)
+    zeros = jnp.zeros_like(shape[..., :1])
     return jnp.concatenate([kd, ks, shape, zeros, zeros], axis=-1)

@@ -941,9 +941,12 @@ def _joint_ne_kernel(lv_ref, y_ref, w_ref, p_ref, geom_ref, out_ref, *,
     """One (texel-block, view-chunk) step of the joint normal equations.
 
     Refs: lv (6, Vb, TB) = L/V unit vectors; y (3, Vb, TB) per-channel
-    targets; w (Vb, TB); p (16, TB) rows 0..8 = params; geom (16, TB) rows
-    0..8 = per-texel (n, t, b); out (rows_p, TB) accumulator (zeroed on the
-    first view chunk)."""
+    targets; w (3, Vb, TB) PER-CHANNEL weights (channels are independent
+    measurements — per-channel saturation masks / IRLS weights reach the
+    joint fit here; a shared (T, V) mask is broadcast by ``_joint_prep``);
+    p (16, TB) rows 0..8 = params; geom (16, TB) rows 0..8 = per-texel
+    (n, t, b); out (rows_p, TB) accumulator (zeroed on the first view
+    chunk)."""
     m = _JOINT_M
     n3 = [geom_ref[i : i + 1, :] for i in range(3)]
     t3 = [geom_ref[3 + i : 4 + i, :] for i in range(3)]
@@ -995,9 +998,6 @@ def _joint_ne_kernel(lv_ref, y_ref, w_ref, p_ref, geom_ref, out_ref, *,
     ang_dus = tuple(angs[nm][1] for nm in names)
     ang_dvs = tuple(angs[nm][2] for nm in names)
 
-    w = w_ref[...]
-    w2 = w * w
-
     @pl.when(pl.program_id(1) == 0)
     def _():
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
@@ -1006,6 +1006,8 @@ def _joint_ne_kernel(lv_ref, y_ref, w_ref, p_ref, geom_ref, out_ref, *,
     a_acc: dict = {}
     g_acc: list = [None] * m
     for c in range(3):
+        w = w_ref[c]
+        w2 = w * w
         i_val, d_par, d_ang = base_spec.eval(
             ang_vals, (p[c], p[3 + c], p[6])
         )
@@ -1048,8 +1050,8 @@ def _joint_ne_call(base_spec, lv_stack, y_stack, w, p_rows, geom_rows,
     m = _JOINT_M
     rows = {"chi2": 1, "grad": 1 + m, "full": _ne_rows(m)}[mode]
     rows_p = ((rows + 7) // 8) * 8
-    vt = pl.BlockSpec((view_block, block_t), lambda i, j: (j, i),
-                      memory_space=pltpu.VMEM)
+    cvt = pl.BlockSpec((3, view_block, block_t), lambda i, j: (0, j, i),
+                       memory_space=pltpu.VMEM)
     rows16 = pl.BlockSpec((16, block_t), lambda i, j: (0, i),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -1058,9 +1060,8 @@ def _joint_ne_call(base_spec, lv_stack, y_stack, w, p_rows, geom_rows,
         in_specs=[
             pl.BlockSpec((6, view_block, block_t), lambda i, j: (0, j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, view_block, block_t), lambda i, j: (0, j, i),
-                         memory_space=pltpu.VMEM),
-            vt,
+            cvt,
+            cvt,
             rows16,
             rows16,
         ],
@@ -1095,8 +1096,13 @@ def _joint_prep(base_model, geom, target, weights, block_t, view_block):
 
     lv = jnp.concatenate([prep_vec(geom.l), prep_vec(geom.v)], axis=0)
     y = prep_vec(target)                       # (3, Vp, Tp) channel-major
-    w = prep_tv(weights if weights is not None
-                else jnp.ones(target.shape[:2], jnp.float32))
+    # weights: (T, V) shared across channels or (T, V, 3) per-channel —
+    # always shipped to the kernel as a (3, Vp, Tp) per-channel stack
+    if weights is None:
+        weights = jnp.ones(target.shape[:2], jnp.float32)
+    if weights.ndim == 2:
+        weights = jnp.broadcast_to(weights[..., None], weights.shape + (3,))
+    w = prep_vec(weights)
     n = geom.n.astype(jnp.float32)
     tb, bb = tangent_basis(n)
     geom_rows = jnp.pad(
@@ -1117,7 +1123,7 @@ def lm_fit_joint_pallas_chunked(
     geom,                    # ShadingGeometry: n (T,3), l/v (T,V,3)
     target: jnp.ndarray,     # (T, V, 3)
     p0: jnp.ndarray,         # (T, 9)
-    weights: jnp.ndarray | None = None,   # (T, V)
+    weights: jnp.ndarray | None = None,   # (T, V) or per-channel (T, V, 3)
     opts: LMOptions = LMOptions(eps1=1e-7, eps2=1e-8, eps3=1e-14, itmax=40),
     lower: tuple = (),
     upper: tuple = (),

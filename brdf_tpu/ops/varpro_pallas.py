@@ -42,8 +42,7 @@ def _varpro_kernel(
     angles_ref,   # (A, V, TB)
     y_ref,        # (V, TB)
     w_ref,        # (V, TB)
-    out_ref,      # (8, TB): kd, ks, sigma, chi2, iters, stop, g_abs, pad
-    *,
+    *rest,        # [p0_ref (8, TB) when with_p0], out_ref (8, TB)
     spec,
     grid: tuple,          # static shape-grid values
     iters: int,
@@ -52,7 +51,11 @@ def _varpro_kernel(
     use_log: bool,
     s_lo: float,
     s_hi: float,
+    with_p0: bool = False,
 ):
+    # out rows: kd, ks, sigma, chi2, iters, stop, g_abs, pad
+    p0_ref = rest[0] if with_p0 else None
+    out_ref = rest[-1]
     n_angles = len(spec.angle_names)
     angles = tuple(angles_ref[a] for a in range(n_angles))
     y = y_ref[...]
@@ -83,21 +86,34 @@ def _varpro_kernel(
         kd, ks = _bvls2(aa, ab, bb, ay, by, l0, u0, l1, u1)
         return kd, ks, bw, ab, bb, by
 
-    # ---- grid init (unrolled over the static grid; cost ranks only) -----
-    # float() everywhere: np.float64 scalars would promote the f32 rows
-    # under an x64-enabled process
-    best_t = zero + (float(np.log(grid[0])) if use_log else float(grid[0]))
-    best_cost = jnp.full_like(zero, jnp.inf)
-    for gval in grid:
-        sig = zero + float(gval)
-        _, b, _ = eval_sig(sig)
-        kd, ks, bw, ab, bb, by = solve_lin(b)
-        cost = (kd * kd * aa + ks * ks * bb + 2.0 * kd * ks * ab
-                - 2.0 * (kd * ay + ks * by))
-        t_g = zero + (float(np.log(gval)) if use_log else float(gval))
-        better = cost < best_cost
-        best_t = jnp.where(better, t_g, best_t)
-        best_cost = jnp.where(better, cost, best_cost)
+    if with_p0:
+        # Caller-supplied start (chunked resume / IRLS warm refit): row 2
+        # of p0_ref carries σ; kd/ks re-solve in closed form at σ0 exactly
+        # like the XLA tier, so only the shape start matters. The in-kernel
+        # grid init is skipped entirely (ADVICE r4: without this, every
+        # resumed chunk restarted the solve from scratch).
+        sig0 = jnp.clip(
+            p0_ref[2:3, :],
+            float(np.exp(s_lo)) if use_log else s_lo,
+            float(np.exp(s_hi)) if use_log else s_hi,
+        )
+        best_t = jnp.log(sig0) if use_log else sig0
+    else:
+        # ---- grid init (unrolled over the static grid; cost ranks only) --
+        # float() everywhere: np.float64 scalars would promote the f32 rows
+        # under an x64-enabled process
+        best_t = zero + (float(np.log(grid[0])) if use_log else float(grid[0]))
+        best_cost = jnp.full_like(zero, jnp.inf)
+        for gval in grid:
+            sig = zero + float(gval)
+            _, b, _ = eval_sig(sig)
+            kd, ks, bw, ab, bb, by = solve_lin(b)
+            cost = (kd * kd * aa + ks * ks * bb + 2.0 * kd * ks * ab
+                    - 2.0 * (kd * ay + ks * by))
+            t_g = zero + (float(np.log(gval)) if use_log else float(gval))
+            better = cost < best_cost
+            best_t = jnp.where(better, t_g, best_t)
+            best_cost = jnp.where(better, cost, best_cost)
 
     # ---- profiled Newton (identical math to solver/varpro.py) -----------
     def eval_at(t_row):
@@ -187,6 +203,7 @@ def varpro_fit_pallas(
     angles: ShadingAngles,
     target: jnp.ndarray,        # (T, V)
     weights: jnp.ndarray | None = None,
+    p0: jnp.ndarray | None = None,   # (T, 3) optional start (else grid init)
     iters: int = 6,
     lower: tuple | None = None,
     upper: tuple | None = None,
@@ -196,9 +213,13 @@ def varpro_fit_pallas(
 ) -> VarProResult:
     """Fused VarPro solve, one VMEM-resident texel block at a time.
 
-    Same public contract as :func:`brdf_tpu.solver.varpro.varpro_fit`
-    (minus ``p0``: the grid init runs in-kernel, which is the point —
-    the angle stack is loaded from HBM exactly once). ``grid_points``
+    Same public contract as :func:`brdf_tpu.solver.varpro.varpro_fit`.
+    With ``p0=None`` the grid init runs in-kernel, which is the point —
+    the angle stack is loaded from HBM exactly once; a supplied ``p0``
+    (chunked resume, IRLS warm refit) skips the grid and starts the Newton
+    iteration from ``p0``'s σ (kd/ks re-solve in closed form, so only the
+    shape start carries state — identical semantics to the XLA tier's
+    ``p0``). ``grid_points``
     defaults to 8: the kernel is transcendental-compute-bound, so the init
     is most of its cost, and the Newton steps fully recover from the
     coarser basin — measured grid 16/12/8 at k=6 →
@@ -244,26 +265,36 @@ def varpro_fit_pallas(
     w = prep(weights)
 
     a = len(spec.angle_names)
+    with_p0 = p0 is not None
     kernel = functools.partial(
         _varpro_kernel, spec=spec, grid=grid, iters=int(iters),
         lower=lo, upper=hi, use_log=use_log, s_lo=s_lo, s_hi=s_hi,
+        with_p0=with_p0,
     )
+    vt_spec = pl.BlockSpec((v, block_t), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    rows8 = pl.BlockSpec((8, block_t), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((a, v, block_t), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        vt_spec,
+        vt_spec,
+    ]
+    inputs = [ang_stack, y, w]
+    if with_p0:
+        in_specs.append(rows8)
+        inputs.append(
+            jnp.pad(p0.astype(jnp.float32).T, ((0, 8 - p0.shape[-1]), (0, pad)))
+        )
     out = pl.pallas_call(
         kernel,
         grid=(tp // block_t,),
-        in_specs=[
-            pl.BlockSpec((a, v, block_t), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((v, block_t), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((v, block_t), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, block_t), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=rows8,
         out_shape=jax.ShapeDtypeStruct((8, tp), jnp.float32),
         interpret=interpret,
-    )(ang_stack, y, w)
+    )(*inputs)
 
     out = out[:, :t]
     return VarProResult(

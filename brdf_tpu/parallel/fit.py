@@ -39,7 +39,7 @@ def _resolve_engine(engine: str, mesh_platform: str, model: str) -> str:
 @functools.lru_cache(maxsize=None)
 def _make_fit_block(
     model: str, mesh: Mesh, opts: LMOptions, lower: tuple, upper: tuple,
-    engine: str,
+    engine: str, use_p0: bool = True,
 ):
     """The shard_map'ped per-block fit step, cached per static config.
 
@@ -63,24 +63,46 @@ def _make_fit_block(
 
     def fit_block_inner(p0_blk, angles_blk, target_blk, weights_blk, warm_blk):
         if engine == "varpro":
-            # Variable-projection engine: separable m=3 lobes only. Fixed
+            # Variable-projection engine: separable lobes only. Fixed
             # per-lane iteration count (no slowest-lane tail). Warm (μ, ν)
             # state has no meaning here — VarPro's entire continuation
-            # state is the parameter start. On an unsharded-view TPU mesh
-            # the FUSED kernel runs (ops/varpro_pallas.py, whole solve
-            # VMEM-resident incl. its own grid init — measured 1.7× the
-            # XLA tier; its in-kernel re-init under each IRLS round's new
-            # weights is interpret-parity-tested against the XLA tier);
-            # view-sharded or non-TPU meshes take the XLA tier, which
-            # psums its Gram/χ²/derivative reductions like the LM engines.
+            # state is the parameter start, honored by EVERY tier when the
+            # caller supplied one (``use_p0``: chunked resume / explicit
+            # p0; the pipeline's own grid init stays in-kernel on the
+            # fused tier, where it is measured cheaper than an HBM-level
+            # init). On an unsharded-view TPU mesh the FUSED kernel runs
+            # (ops/varpro_pallas.py, whole solve VMEM-resident — measured
+            # 2.6× the XLA tier; its in-kernel re-init under each IRLS
+            # round's new weights is interpret-parity-tested against the
+            # XLA tier); view-sharded or non-TPU meshes take the XLA
+            # tier, which psums its Gram/χ²/derivative reductions like
+            # the LM engines.
             k = min(opts.itmax, 16)
             if model == "cook_torrance_fresnel":
-                # 2-D shape space (roughness, f0): the XLA 2-D profiled
-                # Newton tier (solver/varpro.py::varpro_fit_fresnel)
-                from brdf_tpu.solver.varpro import varpro_fit_fresnel
+                # Scale-profiled tier (solver/varpro.py::
+                # varpro_fit_fresnel_lin): the lobe is LINEAR in
+                # (kd, ks·f0, ks·(1−f0)), so the ks·F0 degeneracy the 2-D
+                # Newton tier fights is eliminated in closed form —
+                # measured synthetic recovery 0.78 vs 0.63 (2-D Newton) vs
+                # 0.54 (LM) at a deeper χ² floor. p0 honored like the
+                # fused kernel (roughness carries the state); the
+                # pipeline's own init is replaced by the in-function
+                # 3-var-NNLS roughness grid.
+                from brdf_tpu.solver.varpro import varpro_fit_fresnel_lin
 
-                r = varpro_fit_fresnel(
+                r = varpro_fit_fresnel_lin(
                     angles_blk, target_blk, weights=weights_blk,
+                    p0=p0_blk if use_p0 else None,
+                    iters=k, lower=lower, upper=upper,
+                    axis_name=VIEW_AXIS if mesh.shape[VIEW_AXIS] > 1 else None,
+                )
+            elif model in ("ward_aniso", "cook_torrance_aniso"):
+                # 3-D shape space (rough_x, rough_y, phi): the generic d-D
+                # profiled Newton tier (solver/varpro.py::varpro_fit_nd)
+                from brdf_tpu.solver.varpro import varpro_fit_nd
+
+                r = varpro_fit_nd(
+                    model, angles_blk, target_blk, weights=weights_blk,
                     p0=p0_blk, iters=k, lower=lower, upper=upper,
                     axis_name=VIEW_AXIS if mesh.shape[VIEW_AXIS] > 1 else None,
                 )
@@ -89,6 +111,7 @@ def _make_fit_block(
 
                 r = varpro_fit_pallas(
                     model, angles_blk, target_blk, weights=weights_blk,
+                    p0=p0_blk if use_p0 else None,
                     iters=k, lower=lower, upper=upper,
                 )
             else:
@@ -101,11 +124,16 @@ def _make_fit_block(
                     axis_name=VIEW_AXIS if mesh.shape[VIEW_AXIS] > 1 else None,
                 )
             z = jnp.zeros_like(r.chi2)
+            k_full = jnp.full_like(r.iters, k)
             return LMResult(
                 p=r.p, chi2=r.chi2, chi2_init=z, g_inf=r.g_abs,
                 iters=r.iters, stop=r.stop,
-                nfev=r.iters + 1, njev=r.iters,
-                mu=z, nu=z, nlss=r.iters,   # one 2×2 closed-form solve/step
+                # every iteration evaluates once regardless of acceptance,
+                # so the work counters report the FIXED schedule (k+1 basis
+                # evaluations, k closed-form solves), not accepted steps
+                # (ADVICE r4)
+                nfev=k_full + 1, njev=k_full,
+                mu=z, nu=z, nlss=k_full,
                 constraint_violation=z,
             )
         if engine == "pallas":
@@ -204,7 +232,12 @@ def _fit_pipeline_program(
     programs × O(30 s) uploads to one).
     """
     spec = MODELS[model]
-    fit_block = _make_fit_block(model, mesh, opts, lower, upper, engine)
+    # use_p0 = the caller supplied a start (chunked resume / warm refit):
+    # every engine tier must honor it. When the pipeline computes its own
+    # init (with_init), the fused VarPro tier instead keeps its (cheaper)
+    # in-kernel grid init and XLA dead-code-eliminates the outer one.
+    fit_block = _make_fit_block(model, mesh, opts, lower, upper, engine,
+                                use_p0=not with_init)
     from brdf_tpu.solver.robust import robust_weights
 
     def run(p0, angles, target, weights, warm):

@@ -210,6 +210,24 @@ def linear_grid_init(
     return jnp.clip(best_p, lo, hi)
 
 
+def _grid_is_geometric(g1: np.ndarray) -> bool:
+    """Pick the interpolation coordinate where the grid is actually UNIFORM:
+    the three-point parabola-vertex formula assumes equal spacing, so a
+    linearly spaced positive grid (cook_torrance/ward roughness) must be
+    refined in linear coordinates even though log would be legal (ADVICE r4:
+    positivity alone mis-picked log there, biasing the vertex). Geometric
+    spacing ⇔ diffs of log(g) are uniform; compare the relative spread of
+    the spacings in both coordinates and take the more uniform."""
+    g1 = np.ravel(np.asarray(g1, np.float64))
+    if g1.shape[0] < 3 or not bool((g1 > 0).all()):
+        return False
+    d_lin = np.diff(g1)
+    d_log = np.diff(np.log(g1))
+    lin_dev = np.ptp(d_lin) / max(np.abs(d_lin).mean(), 1e-300)
+    log_dev = np.ptp(d_log) / max(np.abs(d_log).mean(), 1e-300)
+    return bool(log_dev < lin_dev)
+
+
 def _parabolic_refine(spec, angles, weights, ty, shape_grid, costs,
                       best_p, best_cost, n_lin, dtype):
     """Interpolate the χ²(shape) minimum between grid points.
@@ -226,7 +244,7 @@ def _parabolic_refine(spec, angles, weights, ty, shape_grid, costs,
     """
     g1 = np.ravel(np.asarray(shape_grid, np.float64))
     g_count = g1.shape[0]
-    use_log = bool((g1 > 0).all())
+    use_log = _grid_is_geometric(g1)
     tg_np = np.log(g1) if use_log else g1
 
     i = jnp.argmin(costs, axis=0)                     # (...,)

@@ -97,8 +97,12 @@ def _impl(
     t_count, v, _ = target.shape
     if weights is None:
         weights = jnp.ones(target.shape[:2], dtype)
-    w = weights.astype(dtype)                     # (T, V)
-    yw = target * w[..., None]                    # (T, V, 3)
+    w = weights.astype(dtype)                     # (T, V) or (T, V, 3)
+    # per-channel weights: channels are independent measurements, so a
+    # per-channel saturation/IRLS mask makes the Gram per-channel too
+    w3 = w[..., None] if w.ndim == 2 else w       # broadcasts to (T, V, 3)
+    w3 = jnp.broadcast_to(w3, target.shape)
+    yw = target * w3                              # (T, V, 3)
 
     use_log = _SEPARABLE[base_model] == "log"
     sig_floor = max(base.lower[2], 0.25) if use_log else max(base.lower[2], 1e-6)
@@ -118,10 +122,10 @@ def _impl(
 
         ang0 = angles_from_geometry(geom)
 
-        def init_one(tc):
-            return linear_grid_init(base_model, ang0, tc, weights=w)
+        def init_one(tc, wc):
+            return linear_grid_init(base_model, ang0, tc, weights=wc)
 
-        channel_params = jax.vmap(init_one, in_axes=-1, out_axes=1)(target)
+        channel_params = jax.vmap(init_one, in_axes=-1, out_axes=1)(target, w3)
     p0 = joint_p0_from_channelwise(channel_params)          # (T, 9)
     sig0 = jnp.clip(p0[..., 6], sig_floor, base.upper[2])
     t0_sig = jnp.log(sig0) if use_log else sig0
@@ -139,13 +143,14 @@ def _impl(
     def chi2_at(alpha):
         """Profiled χ² only (no derivatives) — the multi-start scorer."""
         a, b = bases(alpha)
-        aw = a * w
-        bw = b * w
-        aa = jnp.sum(aw * aw, -1)
-        ab = jnp.sum(aw * bw, -1)
-        bb = jnp.sum(bw * bw, -1)
         chi2 = jnp.zeros(alpha.shape[:-1], dtype)
         for c in range(3):
+            wc = w3[..., c]
+            aw = a * wc
+            bw = b * wc
+            aa = jnp.sum(aw * aw, -1)
+            ab = jnp.sum(aw * bw, -1)
+            bb = jnp.sum(bw * bw, -1)
             ay = jnp.sum(aw * yw[..., c], -1)
             by = jnp.sum(bw * yw[..., c], -1)
             kd, ks = _bvls2(aa, ab, bb, ay, by, l0, u0, l1, u1)
@@ -154,35 +159,39 @@ def _impl(
         return chi2
 
     def eval_at(alpha):
-        """φ, ∇φ (3), projected-GN H (3×3 upper), per-channel (kd, ks)."""
+        """φ, ∇φ (3), projected-GN H (3×3 upper), per-channel (kd, ks).
+
+        Per-channel weights make the (a, b) Gram per-channel, so the BVLS
+        and the Kaufman projection run inside the channel loop."""
         (a, b), tangents = (bases(alpha), [])
         for j in range(3):
             e = jnp.zeros_like(alpha).at[..., j].set(1.0)
             _, (da_j, db_j) = jax.jvp(bases, (alpha,), (e,))
             tangents.append((da_j, db_j))
-        aw = a * w
-        bw = b * w
-        aa = jnp.sum(aw * aw, -1)
-        ab = jnp.sum(aw * bw, -1)
-        bb = jnp.sum(bw * bw, -1)
-        gram = (aa, ab, bb)
-        det = aa * bb - ab * ab
-        det_ok = det > _TINY
-        det_s = jnp.where(det_ok, det, 1.0)
-
-        def project(u):
-            """u (T,V) → component ⊥ span{aw, bw} (per texel)."""
-            ua = jnp.sum(u * aw, -1)
-            ub = jnp.sum(u * bw, -1)
-            x1 = jnp.where(det_ok, (bb * ua - ab * ub) / det_s, 0.0)
-            x2 = jnp.where(det_ok, (aa * ub - ab * ua) / det_s, 0.0)
-            return u - x1[..., None] * aw - x2[..., None] * bw
 
         chi2 = jnp.zeros(alpha.shape[:-1], dtype)
         g = [jnp.zeros_like(chi2) for _ in range(3)]
         h = {(j, k): jnp.zeros_like(chi2) for j in range(3) for k in range(j, 3)}
         kds, kss = [], []
         for c in range(3):
+            wc = w3[..., c]
+            aw = a * wc
+            bw = b * wc
+            aa = jnp.sum(aw * aw, -1)
+            ab = jnp.sum(aw * bw, -1)
+            bb = jnp.sum(bw * bw, -1)
+            det = aa * bb - ab * ab
+            det_ok = det > _TINY
+            det_s = jnp.where(det_ok, det, 1.0)
+
+            def project(u):
+                """u (T,V) → component ⊥ span{aw, bw} (per texel, channel c)."""
+                ua = jnp.sum(u * aw, -1)
+                ub = jnp.sum(u * bw, -1)
+                x1 = jnp.where(det_ok, (bb * ua - ab * ub) / det_s, 0.0)
+                x2 = jnp.where(det_ok, (aa * ub - ab * ua) / det_s, 0.0)
+                return u - x1[..., None] * aw - x2[..., None] * bw
+
             ay = jnp.sum(aw * yw[..., c], -1)
             by = jnp.sum(bw * yw[..., c], -1)
             kd, ks = _bvls2(aa, ab, bb, ay, by, l0, u0, l1, u1)
@@ -193,7 +202,7 @@ def _impl(
             u_cols = []
             for j in range(3):
                 da_j, db_j = tangents[j]
-                u = (kd[..., None] * da_j + ks[..., None] * db_j) * w
+                u = (kd[..., None] * da_j + ks[..., None] * db_j) * wc
                 g[j] = g[j] - 2.0 * jnp.sum(rw * u, -1)
                 u_cols.append(project(u))
             for j in range(3):

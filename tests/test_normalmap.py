@@ -94,3 +94,94 @@ def test_joint_fit_recovers_normal_and_material():
     assert np.median(np.degrees(np.arccos(np.clip(cos[conv], -1, 1)))) < 0.5
     kd_err = np.abs(np.asarray(res.p[:, 0:3]) - np.asarray(true_p[:, 0:3]))
     assert np.median(kd_err[conv]) < 0.01
+
+
+def test_joint_spec_aniso_layout():
+    """m=5 anisotropic bases produce the m=11 joint layout
+    [kd_rgb, ks_rgb, rough_x, rough_y, phi, nu, nv] (VERDICT r4 #2)."""
+    from brdf_tpu.models.normalmap import joint_p0_from_channelwise
+
+    spec = joint_spec("cook_torrance_aniso", max_tilt=0.5)
+    assert spec.n_params == 11 and spec.n_shape == 3
+    assert spec.lower[8] == -np.pi / 2 and spec.upper[8] == np.pi / 2
+    assert spec.lower[9] == -0.5 and spec.upper[10] == 0.5
+    chan = jnp.asarray(np.random.default_rng(0).uniform(0.1, 0.9, (7, 3, 5)))
+    p0 = joint_p0_from_channelwise(chan)
+    assert p0.shape == (7, 11)
+    np.testing.assert_allclose(
+        np.asarray(p0[:, 6:9]), np.asarray(chan[:, :, 2:]).mean(1), rtol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(p0[:, 9:]), 0.0)
+
+    # the m=9 layout is unchanged for isotropic bases
+    spec9 = joint_spec("cook_torrance")
+    assert spec9.n_params == 9 and spec9.n_shape == 1
+
+
+def test_joint_fit_aniso_recovers_normal_and_material():
+    """m=11 joint roundtrip: anisotropic GGX material + normal offsets
+    recover from synthetic measurements through the XLA tier (jacfwd
+    through perturbed_angles with the tangent frame re-derived from the
+    perturbed normal)."""
+    t = 64
+    geom, rng = _geom(t=t)
+    spec = joint_spec("cook_torrance_aniso", max_tilt=0.6)
+
+    true_p = np.zeros((t, 11))
+    true_p[:, 0:3] = rng.uniform(0.2, 0.8, (t, 3))      # kd rgb
+    true_p[:, 3:6] = rng.uniform(0.3, 0.9, (t, 3))      # ks rgb
+    true_p[:, 6] = rng.uniform(0.3, 0.7, t)             # rough_x
+    true_p[:, 7] = rng.uniform(0.3, 0.7, t)             # rough_y
+    true_p[:, 8] = rng.uniform(-1.0, 1.0, t)            # phi
+    true_p[:, 9] = rng.uniform(-0.25, 0.25, t)          # nu
+    true_p[:, 10] = rng.uniform(-0.25, 0.25, t)         # nv
+    true_p = jnp.asarray(true_p)
+
+    target = joint_eval(spec, true_p, geom)             # (T, V, 3)
+    assert target.shape == (t, 16, 3)
+    w = jnp.ones(target.shape[:-1])
+
+    p0 = jnp.asarray(
+        np.zeros((t, 11)) + np.array([0.5] * 6 + [0.4, 0.4, 0.0, 0.0, 0.0])
+    )
+    res = levmar_bc(
+        joint_residual(spec), p0, spec.lower, spec.upper,
+        data=(geom, target, w),
+        opts=LMOptions(eps1=1e-10, eps2=1e-10, eps3=1e-22, itmax=120),
+    )
+    chi2 = np.asarray(res.chi2)
+    conv = chi2 < 1e-12
+    assert conv.mean() > 0.5
+
+    def normals_of(p):
+        t_, b_ = tangent_basis(geom.n)
+        n_new = geom.n + p[:, 9, None] * t_ + p[:, 10, None] * b_
+        return n_new / jnp.linalg.norm(n_new, axis=-1, keepdims=True)
+
+    cos = (np.asarray(normals_of(true_p)) * np.asarray(normals_of(res.p))).sum(-1)
+    assert np.median(np.degrees(np.arccos(np.clip(cos[conv], -1, 1)))) < 0.5
+    kd_err = np.abs(np.asarray(res.p[:, 0:3]) - np.asarray(true_p[:, 0:3]))
+    assert np.median(kd_err[conv]) < 0.01
+
+
+def test_joint_residual_per_channel_weights():
+    """joint_residual accepts (V,) shared or (V, 3) per-channel weights;
+    a zeroed channel-view drops exactly that residual row."""
+    geom, rng = _geom(t=8, v=4)
+    spec = joint_spec("cook_torrance")
+    p = jnp.asarray(rng.uniform(0.2, 0.6, (8, 9)))
+    target = joint_eval(spec, p * 0.9, geom)
+    w_shared = jnp.ones((8, 4))
+    w3 = jnp.ones((8, 4, 3)).at[:, 1, 2].set(0.0)
+    r_fn = joint_residual(spec)
+    r_shared = jax.vmap(lambda pp, g, y, w: r_fn(pp, (g, y, w)))(
+        p, geom, target, w_shared
+    )
+    r_chan = jax.vmap(lambda pp, g, y, w: r_fn(pp, (g, y, w)))(
+        p, geom, target, w3
+    )
+    r_shared = np.array(r_shared).reshape(8, 4, 3)
+    r_chan = np.array(r_chan).reshape(8, 4, 3)
+    np.testing.assert_array_equal(r_chan[:, 1, 2], 0.0)
+    r_shared[:, 1, 2] = 0.0
+    np.testing.assert_allclose(r_chan, r_shared, atol=1e-12)

@@ -370,3 +370,211 @@ def test_varpro_fresnel_view_sharded():
     rel = (np.abs(np.asarray(res_v.p) - np.asarray(res_1.p))
            / np.maximum(np.abs(np.asarray(res_1.p)), 1e-3)).max(-1)
     assert (rel < 1e-2).mean() > 0.5
+
+
+# ---------------------------------------------------------------------------
+# round 5: 3-D shape tier (aniso), scale-profiled Fresnel, fused-kernel p0
+# ---------------------------------------------------------------------------
+
+
+def _aniso_problem(model, t=1024, v=16, seed=1):
+    """Physically consistent tangent-frame problem (real geometry, broad
+    lights) — independent random tangent cosines would violate the
+    half-vector identities the aniso lobes rely on."""
+    from brdf_tpu.models.brdf import shading_angles
+
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(t, 3)).astype(np.float32) * 0.1
+    nrm = rng.normal(size=(t, 3))
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    eye = jnp.asarray([0.0, 0.0, 10.0], jnp.float32)
+    d = rng.normal(size=(v, 3))
+    lights = (d / np.linalg.norm(d, axis=-1, keepdims=True) * 8.0).astype(np.float32)
+    ang = shading_angles(jnp.asarray(pts), jnp.asarray(nrm, jnp.float32),
+                         eye, jnp.asarray(lights), tangent_frame=True)
+    true_p = np.stack(
+        [rng.uniform(0.1, 0.9, t), rng.uniform(0.3, 1.0, t),
+         rng.uniform(0.15, 0.9, t), rng.uniform(0.15, 0.9, t),
+         rng.uniform(-1.2, 1.2, t)], -1
+    ).astype(np.float32)
+    target = MODELS[model].fn(jnp.asarray(true_p), ang)
+    return ang, target, true_p
+
+
+def _canon_aniso(q):
+    """Canonicalize the exact (ax, ay, φ) ↔ (ay, ax, φ±π/2) lobe symmetry
+    before parameter comparison (φ has period π)."""
+    q = np.asarray(q).copy()
+    swap = q[:, 2] < q[:, 3]
+    q[swap, 2], q[swap, 3] = q[swap, 3].copy(), q[swap, 2].copy()
+    q[swap, 4] = q[swap, 4] + np.pi / 2
+    q[:, 4] = (q[:, 4] + np.pi / 2) % np.pi - np.pi / 2
+    return q
+
+
+def _aniso_recovery(p, true_p):
+    pc, tc = _canon_aniso(p), _canon_aniso(true_p)
+    rel = np.abs(pc - tc) / np.maximum(np.abs(tc), 1e-3)
+    rel[:, 4] = np.abs(pc[:, 4] - tc[:, 4])       # φ: absolute angle error
+    iso = np.abs(tc[:, 2] - tc[:, 3]) < 0.05 * np.maximum(tc[:, 2], tc[:, 3])
+    rel[iso, 4] = 0.0                             # φ unidentifiable when ax≈ay
+    return float((rel.max(-1) < 1e-2).mean())
+
+
+@pytest.mark.parametrize("model", ["ward_aniso", "cook_torrance_aniso"])
+def test_varpro_nd_aniso_matches_lm(model):
+    """3-D profiled Newton on the m=5 anisotropic lobes (VERDICT r4 #4):
+    fixed-iteration VarPro must match the LM engine's recovery on the same
+    distribution. Both sit near the 16-view identifiability ceiling (~0.2
+    at 16 views, 0.41 at 32 — the lobe has more DOFs than a narrow rig
+    pins; χ² is at the floor with wrong parameters), so the bar is PARITY
+    with LM-60, not an absolute recovery level."""
+    from brdf_tpu.solver.varpro import varpro_fit_nd
+
+    ang, target, true_p = _aniso_problem(model)
+    res = varpro_fit_nd(model, ang, target, iters=24)
+    chi2 = np.asarray(res.chi2)
+    assert np.isfinite(chi2).all()
+    assert np.median(chi2) < 1e-10
+
+    spec = MODELS[model]
+
+    def residual(p, data):
+        a, y = data
+        return spec.fn(p, a) - y
+
+    p0 = linear_grid_init(model, ang, target)
+    lm = levmar_bc(
+        residual, p0, spec.lower, spec.upper, data=(ang, target),
+        opts=LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=60, tau=1e-10),
+    )
+    assert _aniso_recovery(res.p, true_p) >= _aniso_recovery(lm.p, true_p) - 0.03
+    # box respected incl. the signed φ dimension (the r5 floor-bug regression
+    # guard: φ must NOT be clamped at 0)
+    p = np.asarray(res.p)
+    assert p[:, 4].min() < -0.1 and p[:, 4].max() > 0.1
+    assert p[:, 2].min() >= 1e-3 - 1e-9 and p[:, 3].min() >= 1e-3 - 1e-9
+
+
+def test_varpro_nd_weights_mask_views():
+    from brdf_tpu.solver.varpro import varpro_fit_nd
+
+    ang, target, _ = _aniso_problem("ward_aniso", t=256)
+    w = jnp.ones_like(target).at[:, 12:].set(0.0)
+    bad = target.at[:, 12:].set(9.0)
+    r1 = varpro_fit_nd("ward_aniso", ang, target, weights=w, iters=6)
+    r2 = varpro_fit_nd("ward_aniso", ang, bad, weights=w, iters=6)
+    np.testing.assert_array_equal(np.asarray(r1.p), np.asarray(r2.p))
+
+
+def test_varpro_engine_dispatches_aniso():
+    """fit_texels_sharded(engine='varpro') routes the m=5 lobes to the 3-D
+    profiled tier (previously they raised: solver/varpro.py stopped at 2-D)."""
+    from brdf_tpu.parallel.fit import fit_texels_sharded
+    from brdf_tpu.parallel.mesh import make_mesh
+
+    ang, target, _ = _aniso_problem("ward_aniso", t=256)
+    mesh = make_mesh(data=1, view=1, devices=jax.devices()[:1])
+    res = fit_texels_sharded(
+        "ward_aniso", ang, target, mesh,
+        opts=LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=12),
+        engine="varpro",
+    )
+    assert res.p.shape == (256, 5)
+    assert float(np.median(np.asarray(res.chi2))) < 1e-9
+
+
+def test_varpro_fresnel_lin_removes_scale_degeneracy():
+    """The scale-profiled Fresnel tier (varpro_fit_fresnel_lin): Schlick's
+    F is affine in f0, so the lobe is LINEAR in (kd, ks·f0, ks·(1−f0)) and
+    the ks·F0 degeneracy is eliminated exactly by a 3-var NNLS. Measured:
+    recovery 0.78 vs the 2-D Newton tier's 0.63 (LM-40: 0.54) at a deeper
+    χ² floor; the remaining tail is 16-view ambiguity (f64 with exact
+    χ²=0 still leaves ~12% of texels off-truth)."""
+    from brdf_tpu.solver.varpro import varpro_fit_fresnel, varpro_fit_fresnel_lin
+
+    rng = np.random.default_rng(0)
+    t, v = 2048, 16
+    ang = ShadingAngles(
+        cos_ln=jnp.asarray(rng.uniform(0, 1, (t, v)), jnp.float32),
+        cos_nh=jnp.asarray(rng.uniform(0, 1, (t, v)), jnp.float32),
+        cos_rv=jnp.asarray(rng.uniform(-1, 1, (t, v)), jnp.float32),
+        cos_vn=jnp.asarray(rng.uniform(0.1, 1, (t, v)), jnp.float32),
+    )
+    true_p = np.stack(
+        [rng.uniform(0.1, 0.9, t), rng.uniform(0.2, 1.0, t),
+         rng.uniform(0.15, 0.9, t), rng.uniform(0.2, 0.9, t)], -1
+    ).astype(np.float32)
+    spec = MODELS["cook_torrance_fresnel"]
+    target = spec.fn(jnp.asarray(true_p), ang)
+
+    r_lin = varpro_fit_fresnel_lin(ang, target, iters=10)
+    r_2d = varpro_fit_fresnel(ang, target, iters=10)
+    rec_lin = _recovery(r_lin.p, true_p)
+    assert rec_lin > 0.7
+    assert rec_lin >= _recovery(r_2d.p, true_p) + 0.05
+    assert float(np.median(np.asarray(r_lin.chi2))) < 1e-12
+    # recovered split is consistent: ks = s + q and f0 ∈ [0, 1]
+    p = np.asarray(r_lin.p)
+    assert p[:, 3].min() >= -1e-6 and p[:, 3].max() <= 1.0 + 1e-6
+    assert p[:, 1].min() >= -1e-6
+
+    # zero-weight views don't influence the fit
+    w = jnp.ones_like(target).at[:, 12:].set(0.0)
+    bad = target.at[:, 12:].set(5.0)
+    r1 = varpro_fit_fresnel_lin(ang, target, weights=w, iters=6)
+    r2 = varpro_fit_fresnel_lin(ang, bad, weights=w, iters=6)
+    np.testing.assert_array_equal(np.asarray(r1.p), np.asarray(r2.p))
+
+    # p0 honored (resume semantics): starting at the truth stays there
+    r_warm = varpro_fit_fresnel_lin(ang, target, p0=jnp.asarray(true_p),
+                                    iters=4)
+    assert _recovery(r_warm.p, true_p) >= rec_lin
+
+
+def test_varpro_pallas_p0_resume():
+    """The fused kernel honors a caller p0 (ADVICE r4 medium): warm-started
+    at the truth it must converge immediately (the in-kernel grid init is
+    skipped — without the fix it restarted from scratch), and two chunks of
+    k=4 resumed through p0 must reach the quality of one k=8 run."""
+    from brdf_tpu.ops.varpro_pallas import varpro_fit_pallas
+
+    ang, target, true_p = _problem("blinn_phong", t=512, seed=29)
+    r_warm = varpro_fit_pallas("blinn_phong", ang, target,
+                               p0=jnp.asarray(true_p), iters=4,
+                               block_t=128, interpret=True)
+    assert _recovery(r_warm.p, true_p) > 0.99
+    assert float(np.median(np.asarray(r_warm.chi2))) < 1e-10
+    # the XLA tier with the same p0 agrees lane-for-lane
+    r_x = varpro_fit("blinn_phong", ang, target, p0=jnp.asarray(true_p),
+                     iters=4)
+    close = np.isclose(np.asarray(r_warm.p), np.asarray(r_x.p),
+                       rtol=1e-3, atol=1e-3).all(-1)
+    assert close.mean() > 0.95
+
+    # chunked resume: 4 + 4 iters via p0 ≈ 8 iters in one call
+    r_a = varpro_fit_pallas("blinn_phong", ang, target, iters=4,
+                            block_t=128, interpret=True)
+    r_ab = varpro_fit_pallas("blinn_phong", ang, target, p0=r_a.p, iters=4,
+                             block_t=128, interpret=True)
+    r_8 = varpro_fit_pallas("blinn_phong", ang, target, iters=8,
+                            block_t=128, interpret=True)
+    c_ab = np.asarray(r_ab.chi2)
+    c_8 = np.asarray(r_8.chi2)
+    c_a = np.asarray(r_a.chi2)
+    # resuming must IMPROVE on the first chunk and land near the one-shot run
+    assert float(np.median(c_ab)) <= float(np.median(c_a))
+    assert float(np.median(c_ab)) <= max(float(np.median(c_8)) * 5.0, 1e-12)
+    assert _recovery(r_ab.p, true_p) >= _recovery(r_8.p, true_p) - 0.03
+
+
+def test_grid_refine_coordinate_detection():
+    """_parabolic_refine interpolates in the grid's own spacing: geometric
+    grids (exponent) in log, linearly spaced positive grids (roughness) in
+    linear — detected from the spacings, not positivity (ADVICE r4)."""
+    from brdf_tpu.solver.init import _grid_is_geometric
+
+    assert _grid_is_geometric(np.geomspace(1.0, 300.0, 16))
+    assert not _grid_is_geometric(np.linspace(0.03, 1.0, 16))
+    assert not _grid_is_geometric(np.linspace(-1.0, 1.0, 8))
+    assert not _grid_is_geometric(np.asarray([0.5, 1.0]))   # too short
