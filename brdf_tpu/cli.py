@@ -299,6 +299,37 @@ def cmd_export(args) -> int:
             img[cov] = vals[lut[fid[cov]]]
             return img
 
+    if getattr(args, "residual", False):
+        # signed photo-minus-render residual for --view: interreflections
+        # and unmodeled shadows are spatially structured here (red = photo
+        # brighter than the model, blue = darker) — the diagnosis tool the
+        # reference never had (its fit had no self-inspection at all,
+        # brdfdata.cpp:1224-1226)
+        from brdf_tpu.pipeline.diagnostics import residual_view_image
+
+        if arrays.get("pixels") is not None:
+            from brdf_tpu.pipeline.render import render_pixel_fit
+
+            render = render_pixel_fit(
+                cfg.model.model, scene, arrays["params"], arrays["pixels"],
+                arrays["points"], arrays["normals"], view=view,
+            )
+        else:
+            from brdf_tpu.pipeline.render import render_image
+
+            p_exp, fids_exp, offs = _expand_params(arrays, meta, scene)
+            render = render_image(
+                cfg.model.model, scene, p_exp, fids_exp, view=view,
+                normal_offsets=offs,
+            )
+        rgb, rstats = residual_view_image(scene, view, render)
+        res_path = os.path.join(out, f"residual_view{view}.png")
+        _save_png(rgb, res_path)
+        summary_residual = rstats
+        print(res_path)
+    else:
+        summary_residual = None
+
     if getattr(args, "coverage", False):
         # pixel↔surface-map overlay over the photo — the offline replacement
         # for the reference's DrawMapping diagnostic, which dotted the mapped
@@ -314,6 +345,8 @@ def cmd_export(args) -> int:
         print(cov_path)
 
     summary = {"model": cfg.model.model, "texels": int(t)}
+    if summary_residual is not None:
+        summary["residual"] = summary_residual
     if meta["mode"] == "joint":
         # fitted normal map: tangent offsets (ou, ov) → a standard
         # RG=offset / B=z normal-map visualization + raw offsets in the npz
@@ -715,6 +748,10 @@ def main(argv=None) -> int:
                     help="write a pixel↔surface-map overlay PNG for --view "
                          "(fitted coverage tinted over the photo; the "
                          "DrawMapping diagnostic replacement)")
+    ex.add_argument("--residual", action="store_true",
+                    help="write a signed photo-minus-render residual PNG "
+                         "for --view (red = photo brighter than the model "
+                         "— interreflections; blue = darker — shadows)")
     ex.set_defaults(fn=cmd_export)
 
     tt = sub.add_parser(

@@ -270,7 +270,22 @@ def _lv_from_angles(angles: ShadingAngles) -> jnp.ndarray:
 
 def cook_torrance_fresnel(params: jnp.ndarray, angles: ShadingAngles) -> jnp.ndarray:
     """4-parameter Cook-Torrance ``(kd, ks, roughness, f0)`` with a live
-    Schlick Fresnel term."""
+    Schlick Fresnel term.
+
+    IDENTIFIABILITY: ks and f0 are coupled through the product ``ks·F(f0)``
+    — at rig-scale view counts (16) many (ks, f0) splits reproduce the data
+    exactly, so the individual values are only trustworthy where the
+    grazing-angle tail ``(1−V·H)⁵`` is well sampled. Measured synthetic
+    recovery at 16 views: 0.54 (LM), 0.63 (2-D profiled Newton), 0.78 with
+    the exact scale-profiled solve (``solver/varpro.py::
+    varpro_fit_fresnel_lin``, the ``engine="varpro"`` dispatch, which
+    removes the degenerate direction in closed form — Schlick's F is affine
+    in f0, making the lobe linear in (kd, ks·f0, ks·(1−f0))); the residual
+    tail persists at float64 with χ² = 0 and is a VIEW-COUNT ambiguity, not
+    a solver artifact. ``fit --stats`` / ``export --stats`` flag it on real
+    runs; prefer plain ``cook_torrance`` unless f0 is specifically needed
+    (on bunny the live Fresnel adds no reprojection gain, r3 commit
+    b293a4d)."""
     base = cook_torrance(params[..., :3], angles)
     kd = params[..., 0:1]
     ks = params[..., 1:2]

@@ -381,6 +381,19 @@ def fit_quality_metrics(
         )
 
     warnings = []
+    if model == "cook_torrance_fresnel":
+        # Documented ambiguity (measured, not hypothetical): ks·F(f0)
+        # couples the two specular scales; at 16 views synthetic recovery
+        # tops out at 0.78 even with the exact scale-profiled solve, with
+        # χ² at the floor — see the model docstring. The parameter MAPS
+        # can be non-unique even when the reprojection error is good.
+        warnings.append(
+            "model cook_torrance_fresnel: ks and f0 are coupled (ks·F(f0)) "
+            "and only weakly identifiable at rig-scale view counts — "
+            "individual ks/f0 maps may be non-unique even at low "
+            "reprojection error; trust ks·F(f0) and compare against plain "
+            "cook_torrance before using f0 quantitatively"
+        )
     mean_i = max(float(np.mean(out["intensity_mean"])), 1e-9)
     for ch, e in enumerate(mae):
         if e > 0.5 * mean_i:

@@ -141,6 +141,13 @@ assert main(['fit', '--config', '{tmp_path}/cfg.json', '--out', run]) == 0
 assert main(['export', '--run', run, '--coverage']) == 0
 cov = os.path.join(run, 'maps', 'coverage_view0.png')
 assert os.path.exists(cov), cov
+# signed photo-minus-render residual diagnostic (round 5)
+assert main(['export', '--run', run, '--residual']) == 0
+res = os.path.join(run, 'maps', 'residual_view0.png')
+assert os.path.exists(res), res
+import json as _json
+s = _json.load(open(os.path.join(run, 'maps', 'summary.json')))
+assert 'residual' in s and 'positive_fraction' in s['residual']
 
 png = os.path.join(run, 'render_view0.png')
 t = threading.Thread(target=main, args=(
