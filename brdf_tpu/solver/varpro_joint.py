@@ -70,7 +70,7 @@ def varpro_fit_joint(
     base_model: str,
     geom,                      # ShadingGeometry (T texels)
     target: jnp.ndarray,       # (T, V, 3)
-    weights: jnp.ndarray | None = None,   # (T, V)
+    weights: jnp.ndarray | None = None,   # (T, V) or per-channel (T, V, 3)
     channel_params: jnp.ndarray | None = None,   # (T, 3, 3) per-channel init
     iters: int = 12,
     max_tilt: float = 0.6,
