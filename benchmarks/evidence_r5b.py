@@ -168,6 +168,24 @@ def main():
         ab["per_texel_mae"] = mae_row(m_t)
         ab["per_texel_bounds"] = m_t["fraction_at_bounds"]
         log(f"timber per-texel aniso MAE {ab['per_texel_mae']}")
+        # 3-D VarPro on the same real data (the engine that BEAT the fused
+        # LM kernel on the synthetic aniso ladder, evidence_r5a)
+        m_v = fit_and_audit(
+            "timber_ct_aniso_vp",
+            FitConfig(
+                name="timber-ct-aniso-vp",
+                scene=SceneConfig(scene_dir=f"{REF}/timber"),
+                model=ModelConfig(model="cook_torrance_aniso"),
+                solver=SolverConfig(
+                    robust="huber", engine="varpro",
+                    lower=[0.0, 0.0, 1e-3, 1e-3, -1.5707963],
+                    upper=[2.0, 2.0, 1.0, 1.0, 1.5707963],
+                ),
+            ),
+        )
+        ab["per_texel_varpro_mae"] = mae_row(m_v)
+        ab["per_texel_varpro_bounds"] = m_v["fraction_at_bounds"]
+        log(f"timber per-texel aniso VARPRO MAE {ab['per_texel_varpro_mae']}")
         summary["timber_joint_aniso"] = ab
 
     run_timber()

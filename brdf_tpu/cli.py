@@ -130,20 +130,39 @@ def cmd_fit(args) -> int:
     elif cfg.model.joint_normalmap:
         from brdf_tpu.parallel.mesh import make_mesh
 
-        res, jspec = fit_joint_normalmap(
-            problem, cfg.model.model, opts=opts, max_tilt=cfg.model.max_tilt,
+        joint_kw = dict(
+            opts=opts, max_tilt=cfg.model.max_tilt,
             engine=cfg.solver.engine,
             mesh=make_mesh(data=cfg.sharding.data, view=1),
-            mask_saturation=cfg.solver.mask_saturation,
             robust=cfg.solver.robust,
             robust_iters=cfg.solver.robust_iters,
         )
+        gains = None
+        if cfg.solver.fit_view_gains:
+            from brdf_tpu.pipeline.fit import fit_joint_normalmap_with_gains
+
+            res, jspec, gains = fit_joint_normalmap_with_gains(
+                problem, cfg.model.model,
+                rounds=cfg.solver.view_gain_rounds,
+                mask_saturation=cfg.solver.mask_saturation,
+                **joint_kw,
+            )
+        else:
+            res, jspec = fit_joint_normalmap(
+                problem, cfg.model.model,
+                mask_saturation=cfg.solver.mask_saturation,
+                **joint_kw,
+            )
         log("fit_done", mode="joint_normalmap", secs=round(time.time() - t0, 2),
             mask_saturation=cfg.solver.mask_saturation,
-            robust=cfg.solver.robust)
+            robust=cfg.solver.robust,
+            view_gains=None if gains is None
+            else [round(float(g), 4) for g in gains])
         fit_summary_event(res)
         arrays = {"joint_params": np.asarray(res.p), "face_ids": problem.face_ids,
                   "chi2": np.asarray(res.chi2)}
+        if gains is not None:
+            arrays["view_gains"] = np.asarray(gains, np.float32)
     else:
         checkpointer = None
         if getattr(args, "chunk_iters", 0):
@@ -461,6 +480,7 @@ def _run_quality_metrics(arrays, meta, cfg, scene, params, face_ids):
         lower=cfg.solver.lower, upper=cfg.solver.upper,
         chi2=arrays.get("chi2"),
         joint_normals=joint,
+        view_gains=arrays.get("view_gains"),
     )
 
 

@@ -54,6 +54,12 @@ class SolverConfig:
     # term); IRLS only downweights them statistically.
     shadow_weights: bool = False
     shadow_resolution: int = 512
+    # Fit one multiplicative gain per view jointly with the material (joint
+    # normal-map tier): the rig's LEDs need not be equal-intensity — the
+    # reference assumed they were. Measured on cup: gains spread 0.75-1.28
+    # and cut joint MAE 7-9% per channel (runs/evidence_r5c_summary.json).
+    fit_view_gains: bool = False
+    view_gain_rounds: int = 2
     # Optional box override (None = the model's default box). The reference
     # hard-coded [0,100]³ everywhere (brdfdata.cpp:1115-1117) — unphysical
     # for normalized lobes on [0,1] radiance data, and the r3 audit showed it
@@ -158,11 +164,15 @@ PRESETS: dict[str, FitConfig] = {
     # box (bunny CT measured ks-upper 0.59 / roughness-upper 0.58, collapsing
     # to 0.03 once the normal is fit jointly — runs/bunny_tpu vs
     # runs/bunny_joint) and the joint fit cut bunny render-vs-photo MAE ~40%.
+    # cup saturates 0.22/0.27 in G/B: the per-channel saturation mask (the
+    # joint-tier default) + per-channel huber IRLS cut its G/B MAE 13-18%
+    # (0.103/0.105/0.107 -> 0.101/0.088/0.088, runs/cup_joint_{nosat,sat,
+    # sat_irls} A/B, round 5)
     "cup-joint": FitConfig(
         name="cup-joint",
         scene=SceneConfig(scene_dir=f"{_REF}/cup"),
         model=ModelConfig(model="cook_torrance", joint_normalmap=True),
-        solver=SolverConfig(itmax=40, engine="auto"),
+        solver=SolverConfig(itmax=40, engine="auto", robust="huber"),
     ),
     "complex-joint": FitConfig(
         name="complex-joint",
@@ -182,10 +192,23 @@ PRESETS: dict[str, FitConfig] = {
             upper=[2.0, 2.0, 1.0, 1.0, 1.5707963],
         ),
     ),
+    # cup-joint + fitted per-view rig gains (the best measured cup config:
+    # the fitted gains spread 0.75-1.28 — the rig's LEDs are NOT
+    # equal-intensity — and absorb another 7-9% MAE per channel on top of
+    # the saturation mask, runs/evidence_r5c_summary.json)
+    "cup-joint-gains": FitConfig(
+        name="cup-joint-gains",
+        scene=SceneConfig(scene_dir=f"{_REF}/cup"),
+        model=ModelConfig(model="cook_torrance", joint_normalmap=True),
+        solver=SolverConfig(itmax=40, engine="auto", robust="huber",
+                            fit_view_gains=True),
+    ),
     # Joint normal-map + anisotropic GGX for timber (m=11: RGB kd/ks,
     # rough_x/rough_y/phi, tangent offsets) — the joint tier extended to
     # the lobes that win timber, engine xla (jacfwd through
-    # perturbed_angles; the Pallas joint kernel is m=9-only)
+    # perturbed_angles; the Pallas joint kernel is m=9-only). Measured
+    # (round 5, runs/timber_joint_aniso): MAE 0.101/0.101/0.109 vs the
+    # per-texel aniso fit's 0.115/0.121/0.131 — the TIMBER DEFAULT.
     "timber-joint-aniso": FitConfig(
         name="timber-joint-aniso",
         scene=SceneConfig(scene_dir=f"{_REF}/timber"),

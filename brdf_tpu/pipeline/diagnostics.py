@@ -42,6 +42,12 @@ def estimate_view_gains(
     den = np.maximum(np.sum(w2 * pred * pred, axis=axes), 1e-30)
     g = num / den
     g = np.where(den > 1e-20, g, 1.0)
+    # clamp before normalizing: a view whose predictions are weak (heavily
+    # masked, grazing) can otherwise collapse its gain toward 0 and blow up
+    # the 1/g-scaled refit targets (measured r5b: an unclamped alternation
+    # diverged to gain spread 0.005..1.5). Physical LED/exposure variation
+    # is tens of percent, not 200×.
+    g = np.clip(g, 0.5, 2.0)
     mean = np.mean(g) if g.size else 1.0
     return (g / max(mean, 1e-12)).astype(np.float64)
 

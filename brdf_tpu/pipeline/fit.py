@@ -278,16 +278,18 @@ def _reprojection_program(model: str, mask_saturation: bool):
     params against the measured intensities (MAE + RMSE over seen views).
     ``mask_saturation`` excludes sensor-ceiling measurements per channel,
     consistent with the fit's own masking — a blown-out pixel is not a model
-    error (its fraction is reported separately)."""
+    error (its fraction is reported separately). ``gains`` (V,) scales the
+    predictions per view (the fitted rig-gain nuisance model — all-ones
+    when the run fit none)."""
     spec = MODELS[model]
 
     @jax.jit
-    def run(params, angles, intensity, weights):
+    def run(params, angles, intensity, weights, gains):
         # params (T, C, m); intensity (T, V, C); weights (T, V)
         c = params.shape[1]
         errs, sat = [], []
         for ch in range(c):
-            pred = spec.fn(params[:, ch, :], angles)       # (T, V)
+            pred = spec.fn(params[:, ch, :], angles) * gains[None, :]  # (T, V)
             y = intensity[:, :, ch]
             w = weights
             sat.append(jnp.sum((y >= 0.98) * (weights > 0))
@@ -318,6 +320,7 @@ def fit_quality_metrics(
     stop: np.ndarray | None = None,
     mask_saturation: bool = True,
     joint_normals: bool = False,
+    view_gains: np.ndarray | None = None,
 ) -> dict:
     """Quantitative fit-quality audit for a (real-data) run.
 
@@ -342,10 +345,14 @@ def fit_quality_metrics(
     lo = np.ravel(np.asarray(spec.lower if lower is None else lower, np.float64))
     hi = np.ravel(np.asarray(spec.upper if upper is None else upper, np.float64))
 
+    v = problem.intensity.shape[1]
+    gains = (np.ones((v,), np.float32) if view_gains is None
+             else np.asarray(view_gains, np.float32))
     mae, rmse, sat = _reprojection_program(model, bool(mask_saturation))(
         jnp.asarray(params), problem.angles,
         np.asarray(problem.intensity, np.float32),
         np.asarray(problem.weights, np.float32),
+        gains,
     )
     mae = np.asarray(mae)
     rmse = np.asarray(rmse)
@@ -360,6 +367,8 @@ def fit_quality_metrics(
             float(x) for x in np.asarray(problem.intensity).mean((0, 1))
         ],
     }
+    if view_gains is not None:
+        out["view_gains"] = [round(float(g), 4) for g in gains]
     at_bounds = {}
     for j, name in enumerate(spec.param_names[:m]):
         vals = params[:, :, j]
@@ -701,10 +710,14 @@ def fit_joint_normalmap(
     angles, geometry = problem.angles, problem.geometry
     intensity = np.asarray(problem.intensity)
     # per-channel weight stack (T, V, 3): base weights (visibility/shadow
-    # masks, shared) × per-channel saturation mask — host NumPy throughout
+    # masks, shared (T, V) — or already per-channel (T, V, 3), e.g. a
+    # caller-supplied mask computed against unscaled measurements) × the
+    # per-channel saturation mask — host NumPy throughout
     # (tunneled-runtime discipline: batch shaping must not touch the device)
-    weights = np.repeat(
-        np.asarray(problem.weights, intensity.dtype)[..., None], c, axis=-1
+    w_base = np.asarray(problem.weights, intensity.dtype)
+    weights = (
+        np.repeat(w_base[..., None], c, axis=-1) if w_base.ndim == 2
+        else w_base
     )
     if mask_saturation:
         # host-NumPy twin of solver.robust.saturation_weights (same 0.98
@@ -883,6 +896,57 @@ def _joint_program(base_model: str, opts: LMOptions, max_tilt: float,
         return wrapped(chan, angles, geometry, intensity, weights)
 
     return run
+
+
+def fit_joint_normalmap_with_gains(
+    problem: TexelProblem,
+    base_model: str = "cook_torrance",
+    rounds: int = 2,
+    mask_saturation: bool = True,
+    **kwargs,
+):
+    """Joint normal-map fit with per-view rig GAINS as nuisance parameters
+    (alternation: joint fit ↔ closed-form gain solve, clamped to [0.5, 2]).
+
+    The reference hard-coded equal-intensity LEDs (``brdfdata.cpp:683-797``
+    stores positions only); on the real cup scan the fitted gains spread
+    0.75–1.28 — stable across rounds — and absorb 7–9% of the joint MAE on
+    every channel (0.103/0.092/0.091 → 0.095/0.081/0.082,
+    ``runs/evidence_r5c_summary.json``). The per-channel saturation mask is
+    computed ONCE against the unscaled measurements and frozen across the
+    alternation (scaling the targets must not move the mask). Returns
+    ``(res, spec, gains)``; the fitted forward model of the scan is
+    ``gains[v] · model(params)`` (renders under novel lights ignore gains —
+    they are a property of the rig, not the material).
+    """
+    from brdf_tpu.pipeline.diagnostics import estimate_view_gains
+
+    intensity = np.asarray(problem.intensity)
+    w_base = np.asarray(problem.weights, intensity.dtype)
+    w3 = (np.repeat(w_base[..., None], intensity.shape[-1], -1)
+          if w_base.ndim == 2 else w_base)
+    if mask_saturation:
+        w3 = w3 * (intensity < 0.98).astype(intensity.dtype)
+
+    from brdf_tpu.models.normalmap import joint_eval
+
+    gains = np.ones((intensity.shape[1],), np.float64)
+    res = spec = None
+    for r in range(rounds + 1):
+        scaled = intensity / np.maximum(gains[None, :, None], 1e-3)
+        prob = problem._replace(
+            intensity=scaled.astype(intensity.dtype), weights=w3
+        )
+        res, spec = fit_joint_normalmap(
+            prob, base_model, mask_saturation=False, **kwargs
+        )
+        if r == rounds:
+            break
+        pred = np.asarray(
+            joint_eval(spec, jnp.asarray(res.p), problem.geometry)
+        )
+        gains = estimate_view_gains(pred, intensity, w3)
+    return res, spec, gains
 
 
 def fit_single_material(
