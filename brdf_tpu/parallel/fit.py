@@ -97,15 +97,30 @@ def _make_fit_block(
                     axis_name=VIEW_AXIS if mesh.shape[VIEW_AXIS] > 1 else None,
                 )
             elif model in ("ward_aniso", "cook_torrance_aniso"):
-                # 3-D shape space (rough_x, rough_y, phi): the generic d-D
-                # profiled Newton tier (solver/varpro.py::varpro_fit_nd)
-                from brdf_tpu.solver.varpro import varpro_fit_nd
+                # 3-D shape space (rough_x, rough_y, phi). On an
+                # unsharded-view TPU mesh the FUSED d-D kernel runs
+                # (varpro_fit_pallas_nd: one analytic evaluation per Newton
+                # step — the shading kernel returns b and all ∂b/∂shape_j
+                # in a single VMEM-resident pass, vs the XLA tier's 1 + d
+                # HBM passes); view-sharded or non-TPU meshes take the XLA
+                # tier, which psums its reductions like the LM engines.
+                if mesh_platform == "tpu" and mesh.shape[VIEW_AXIS] == 1:
+                    from brdf_tpu.ops.varpro_pallas import varpro_fit_pallas_nd
 
-                r = varpro_fit_nd(
-                    model, angles_blk, target_blk, weights=weights_blk,
-                    p0=p0_blk, iters=k, lower=lower, upper=upper,
-                    axis_name=VIEW_AXIS if mesh.shape[VIEW_AXIS] > 1 else None,
-                )
+                    r = varpro_fit_pallas_nd(
+                        model, angles_blk, target_blk, weights=weights_blk,
+                        p0=p0_blk if use_p0 else None,
+                        iters=k, lower=lower, upper=upper,
+                    )
+                else:
+                    from brdf_tpu.solver.varpro import varpro_fit_nd
+
+                    r = varpro_fit_nd(
+                        model, angles_blk, target_blk, weights=weights_blk,
+                        p0=p0_blk, iters=k, lower=lower, upper=upper,
+                        axis_name=VIEW_AXIS if mesh.shape[VIEW_AXIS] > 1
+                        else None,
+                    )
             elif mesh_platform == "tpu" and mesh.shape[VIEW_AXIS] == 1:
                 from brdf_tpu.ops.varpro_pallas import varpro_fit_pallas
 

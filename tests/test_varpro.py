@@ -568,6 +568,47 @@ def test_varpro_pallas_p0_resume():
     assert _recovery(r_ab.p, true_p) >= _recovery(r_8.p, true_p) - 0.03
 
 
+@pytest.mark.parametrize("model", ["ward_aniso", "cook_torrance_aniso"])
+def test_varpro_pallas_nd_matches_xla_tier(model):
+    """The fused d-D VarPro kernel (interpret mode) reproduces the XLA
+    3-D tier: χ² at the floor, lane-for-lane parameter agreement from an
+    IDENTICAL start (free-init runs legitimately diverge lane-wise on this
+    ambiguity-limited lobe — different init cost rankings pick different
+    zero-χ² basins), p0 honored, masked views inert."""
+    from brdf_tpu.ops.varpro_pallas import varpro_fit_pallas_nd
+    from brdf_tpu.solver.varpro import varpro_fit_nd
+
+    ang, target, true_p = _aniso_problem(model, t=512)
+    rng = np.random.default_rng(3)
+    p_start = jnp.asarray(
+        true_p * rng.uniform(0.9, 1.1, true_p.shape).astype(np.float32)
+    )
+    rx = varpro_fit_nd(model, ang, target, p0=p_start, iters=8)
+    rp = varpro_fit_pallas_nd(model, ang, target, p0=p_start, iters=8,
+                              block_t=128, interpret=True)
+    assert float(np.median(np.asarray(rp.chi2))) < 1e-10
+    close = np.isclose(np.asarray(rp.p), np.asarray(rx.p),
+                       rtol=1e-3, atol=1e-3).all(-1)
+    assert close.mean() > 0.8
+    kd_close = np.isclose(np.asarray(rp.p)[:, 0], np.asarray(rx.p)[:, 0],
+                          rtol=1e-3, atol=1e-3)
+    assert kd_close.mean() > 0.95
+
+    # free-init kernel run: aggregate quality matches the XLA tier
+    r_free = varpro_fit_pallas_nd(model, ang, target, iters=12,
+                                  block_t=128, interpret=True)
+    assert float(np.median(np.asarray(r_free.chi2))) < 1e-10
+
+    # masked poisoned views change nothing
+    w = jnp.ones_like(target).at[:, 12:].set(0.0)
+    bad = target.at[:, 12:].set(9.0)
+    r1 = varpro_fit_pallas_nd(model, ang, target, weights=w, iters=4,
+                              block_t=128, interpret=True)
+    r2 = varpro_fit_pallas_nd(model, ang, bad, weights=w, iters=4,
+                              block_t=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r1.p), np.asarray(r2.p))
+
+
 def test_varpro_engine_chunked_resume(tmp_path):
     """fit_per_texel(--chunk-iters) with the varpro engine: resumed chunks
     continue from the previous chunk's parameters (ADVICE r4 medium: the
