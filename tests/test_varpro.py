@@ -613,29 +613,67 @@ def test_varpro_engine_chunked_resume(tmp_path):
     """fit_per_texel(--chunk-iters) with the varpro engine: resumed chunks
     continue from the previous chunk's parameters (ADVICE r4 medium: the
     fused tier used to restart from scratch every chunk; the stop=3 code
-    maps onto MAX_ITERATIONS so warm_state reopens unconverged lanes)."""
-    from brdf_tpu.pipeline.fit import TexelProblem, fit_per_texel
-    from brdf_tpu.utils.checkpoint import FitCheckpointer
+    maps onto MAX_ITERATIONS so warm_state reopens unconverged lanes).
 
-    ang, target, true_p = _problem("blinn_phong", t=128, v=16, seed=31)
-    problem = TexelProblem(
-        angles=ang,
-        intensity=jnp.stack([target, target, target], -1),
-        weights=jnp.ones_like(target),
-        face_ids=np.arange(128),
+    Runs in a SUBPROCESS: compiling this pipeline program at the tail of a
+    full-suite session reproducibly segfaulted the XLA CPU compiler under
+    the accumulated-executables memory pressure (it passes standalone);
+    isolation also keeps the main process's compile cache clean."""
+    import subprocess
+    import sys
+
+    script = f"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+import numpy as np, jax.numpy as jnp
+from brdf_tpu.models.brdf import MODELS, ShadingAngles
+from brdf_tpu.pipeline.fit import TexelProblem, fit_per_texel
+from brdf_tpu.utils.checkpoint import FitCheckpointer
+from brdf_tpu.solver.lm import LMOptions
+
+rng = np.random.default_rng(31)
+t, v = 128, 16
+ang = ShadingAngles(
+    cos_ln=jnp.asarray(rng.uniform(0, 1, (t, v)), jnp.float32),
+    cos_nh=jnp.asarray(rng.uniform(0, 1, (t, v)), jnp.float32),
+    cos_rv=jnp.asarray(rng.uniform(-1, 1, (t, v)), jnp.float32),
+    cos_vn=jnp.asarray(rng.uniform(0.1, 1, (t, v)), jnp.float32),
+)
+true_p = np.stack([rng.uniform(0.1, 0.9, t), rng.uniform(0.2, 1.0, t),
+                   rng.uniform(2.0, 30.0, t)], -1).astype(np.float32)
+target = MODELS['blinn_phong'].fn(jnp.asarray(true_p), ang)
+problem = TexelProblem(
+    angles=ang,
+    intensity=jnp.stack([target, target, target], -1),
+    weights=jnp.ones_like(target),
+    face_ids=np.arange(t),
+)
+opts = LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=16)
+rep_chunk = fit_per_texel(
+    problem, 'blinn_phong', opts=opts, engine='varpro',
+    checkpointer=FitCheckpointer('{tmp_path}/ck'), chunk_iters=4,
+)
+rep_one = fit_per_texel(problem, 'blinn_phong', opts=opts, engine='varpro')
+
+def recovery(p):
+    rel = (np.abs(np.asarray(p).reshape(-1, 3) - np.repeat(true_p, 3, 0))
+           / np.maximum(np.abs(np.repeat(true_p, 3, 0)), 1e-3)).max(-1)
+    return float((rel < 1e-2).mean())
+
+r_c, r_o = recovery(rep_chunk.params), recovery(rep_one.params)
+assert r_c >= r_o - 0.03, (r_c, r_o)
+c_chunk = float(np.median(np.asarray(rep_chunk.result.chi2)))
+c_one = float(np.median(np.asarray(rep_one.result.chi2)))
+assert c_chunk <= max(c_one * 5, 1e-12), (c_chunk, c_one)
+print('PASS')
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
     )
-    opts = LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=16)
-    rep_chunk = fit_per_texel(
-        problem, "blinn_phong", opts=opts, engine="varpro",
-        checkpointer=FitCheckpointer(str(tmp_path / "ck")), chunk_iters=4,
-    )
-    rep_one = fit_per_texel(problem, "blinn_phong", opts=opts, engine="varpro")
-    r_c = _recovery(rep_chunk.params.reshape(-1, 3), np.repeat(true_p, 3, 0))
-    r_o = _recovery(rep_one.params.reshape(-1, 3), np.repeat(true_p, 3, 0))
-    assert r_c >= r_o - 0.03
-    c_chunk = np.asarray(rep_chunk.result.chi2)
-    c_one = np.asarray(rep_one.result.chi2)
-    assert float(np.median(c_chunk)) <= max(float(np.median(c_one)) * 5, 1e-12)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "PASS" in out.stdout
 
 
 def test_grid_refine_coordinate_detection():
