@@ -341,6 +341,10 @@ def cmd_export(args) -> int:
                 cfg.model.model, scene, p_exp, fids_exp, view=view,
                 normal_offsets=offs,
             )
+        if arrays.get("view_gains") is not None:
+            # a gains run's forward model of the SCAN is g_v · model(params):
+            # the residual diagnostic must compare that, not the bare render
+            render = np.asarray(render) * float(arrays["view_gains"][view])
         rgb, rstats = residual_view_image(scene, view, render)
         res_path = os.path.join(out, f"residual_view{view}.png")
         _save_png(rgb, res_path)

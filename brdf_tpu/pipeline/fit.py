@@ -348,10 +348,16 @@ def fit_quality_metrics(
     v = problem.intensity.shape[1]
     gains = (np.ones((v,), np.float32) if view_gains is None
              else np.asarray(view_gains, np.float32))
+    w_np = np.asarray(problem.weights, np.float32)
+    if w_np.ndim == 3:
+        # per-channel (T, V, 3) weight stacks collapse to the shared view
+        # mask for the audit (a view counts as seen if ANY channel saw it;
+        # the metric applies its own per-channel saturation mask anyway)
+        w_np = w_np.max(-1)
     mae, rmse, sat = _reprojection_program(model, bool(mask_saturation))(
         jnp.asarray(params), problem.angles,
         np.asarray(problem.intensity, np.float32),
-        np.asarray(problem.weights, np.float32),
+        w_np,
         gains,
     )
     mae = np.asarray(mae)

@@ -568,6 +568,33 @@ def test_varpro_pallas_p0_resume():
     assert _recovery(r_ab.p, true_p) >= _recovery(r_8.p, true_p) - 0.03
 
 
+def test_varpro_nd_view_sharded():
+    """The m=5 aniso varpro tier under a view-sharded mesh: psum'd
+    Gram/χ²/derivative reductions reproduce the single-device solve's
+    aggregate quality (the lobe is ambiguity-limited, so the invariant is
+    the χ² distribution + majority parameter agreement, as for Fresnel)."""
+    from brdf_tpu.parallel.fit import fit_texels_sharded
+    from brdf_tpu.parallel.mesh import make_mesh
+
+    n = min(8, jax.device_count())
+    if n < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    ang, target, true_p = _aniso_problem("ward_aniso", t=128)
+    kw = dict(opts=LMOptions(eps1=1e-9, eps2=1e-9, eps3=1e-14, itmax=8),
+              engine="varpro")
+    mesh_v = make_mesh(data=1, view=n)
+    mesh_1 = make_mesh(data=1, view=1, devices=jax.devices()[:1])
+    res_v = fit_texels_sharded("ward_aniso", ang, target, mesh_v, **kw)
+    res_1 = fit_texels_sharded("ward_aniso", ang, target, mesh_1, **kw)
+    c_v = np.asarray(res_v.chi2)
+    c_1 = np.asarray(res_1.chi2)
+    assert float(np.median(c_v)) < 1e-9
+    assert (c_v < np.maximum(c_1 * 10, 1e-8)).mean() > 0.9
+    rel = (np.abs(np.asarray(res_v.p) - np.asarray(res_1.p))
+           / np.maximum(np.abs(np.asarray(res_1.p)), 1e-3)).max(-1)
+    assert (rel < 1e-2).mean() > 0.5
+
+
 @pytest.mark.parametrize("model", ["ward_aniso", "cook_torrance_aniso"])
 def test_varpro_pallas_nd_matches_xla_tier(model):
     """The fused d-D VarPro kernel (interpret mode) reproduces the XLA
