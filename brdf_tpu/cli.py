@@ -578,6 +578,13 @@ def _render_run(args) -> str:
                 cfg.model.model, scene, params, face_ids, view=args.view,
                 lights=lights, normal_offsets=offsets,
             )
+            if lights is None and arrays.get("view_gains") is not None:
+                # rendering a SCAN view under its own LED: a gains run's
+                # forward model of the scan is g_v · model(params), so the
+                # photo-vs-render comparison needs the fitted gain.
+                # Custom lights / env / turntable are material-space and
+                # correctly ignore gains (they are rig, not material).
+                img = np.asarray(img) * float(arrays["view_gains"][args.view])
     _save_png(img, out)
     return out
 

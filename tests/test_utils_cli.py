@@ -174,6 +174,48 @@ assert os.path.getmtime(png) > m0, 'watch loop must have re-rendered'
     assert out.returncode == 0, out.stderr[-3000:]
 
 
+def test_cli_joint_view_gains_end_to_end(tmp_path):
+    """`fit` with SolverConfig.fit_view_gains: gains are fitted, stored
+    with the run, surfaced in the metrics, applied to scan-view renders
+    (and only there — custom-light renders are material-space)."""
+    script = f"""
+import jax
+jax.config.update('jax_platforms','cpu')
+import json
+import numpy as np
+from PIL import Image
+from brdf_tpu.cli import main
+from brdf_tpu.configs import FitConfig, SceneConfig, ModelConfig, SolverConfig
+cfg = FitConfig(
+    scene=SceneConfig(scene_dir='/root/reference/img/cup', views=[0, 8, 12]),
+    model=ModelConfig(model='cook_torrance', joint_normalmap=True),
+    solver=SolverConfig(itmax=4, engine='xla', fit_view_gains=True,
+                        view_gain_rounds=1),
+    name='gains-e2e',
+)
+open('{tmp_path}/cfg.json','w').write(cfg.to_json())
+run = '{tmp_path}/run'
+assert main(['fit', '--config', '{tmp_path}/cfg.json', '--out', run]) == 0
+assert main(['export', '--run', run, '--stats', '--residual']) == 0
+m = json.load(open(run + '/maps/metrics.json'))
+assert 'view_gains' in m and len(m['view_gains']) == 3
+assert all(0.5 <= g <= 2.0 for g in m['view_gains'])
+# scan-view render applies the gain; custom-light render does not
+assert main(['render', '--run', run, '--view', '0',
+             '--out', run + '/scan.png']) == 0
+assert main(['render', '--run', run, '--view', '0',
+             '--light', '300,150,300', '--out', run + '/custom.png']) == 0
+assert np.asarray(Image.open(run + '/scan.png')).sum() > 0
+print('PASS')
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, cwd="/root/repo", timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "PASS" in out.stdout
+
+
 def test_cli_single_material_export_stats(tmp_path):
     """`export --stats` on a SINGLE-MATERIAL run: params expand to every mesh
     face but the rebuilt quality problem keeps only visible faces — the audit
