@@ -209,10 +209,14 @@ PRESETS: dict[str, FitConfig] = {
     # perturbed_angles; the Pallas joint kernel is m=9-only). Measured
     # (round 5, runs/timber_joint_aniso): MAE 0.101/0.101/0.109 vs the
     # per-texel aniso fit's 0.115/0.121/0.131 — the TIMBER DEFAULT.
+    # + fitted rig gains: the timber gain vector correlates 0.78 with
+    # cup's (same LED rig — the gains are real rig properties) and cuts
+    # MAE another 13-15%/channel (0.101/0.101/0.109 -> 0.087/0.086/0.095,
+    # runs/timber_joint_aniso_gains)
     "timber-joint-aniso": FitConfig(
         name="timber-joint-aniso",
         scene=SceneConfig(scene_dir=f"{_REF}/timber"),
         model=ModelConfig(model="cook_torrance_aniso", joint_normalmap=True),
-        solver=SolverConfig(itmax=40, engine="xla"),
+        solver=SolverConfig(itmax=40, engine="xla", fit_view_gains=True),
     ),
 }
